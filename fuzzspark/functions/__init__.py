@@ -1,0 +1,122 @@
+"""Spark column functions for the scorer kernels.
+
+``scorer_udf`` builds an Arrow-batched pandas UDF for any
+(scorer, form) pair from SURVEY.md §2.1 — the ArrowEvalPython node is
+the only place rows cross the JVM↔Python boundary, in batches bounded
+by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+
+``length_prefilter`` emits the plan-level pruning predicates that the
+reference applies inside its kernels (length-difference cutoff,
+src/distance/levenshtein.rs:1045-1047; Jaro length_filter,
+src/distance/jaro.rs:122-131).  Catalyst cannot derive these from a
+black-box UDF, so the pipeline adds them as explicit column predicates
+*below* the UDF — they push down into joins/scans and are the single
+biggest pruning win at scale.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from fuzzspark.kernels.batch import FORMS, SCORERS, batch_scores
+
+__all__ = ["scorer_udf", "scorer_column", "length_prefilter", "sha256_column"]
+
+
+def _to_nullable(out: np.ndarray) -> pd.Series:
+    mask = np.isnan(out)
+    return pd.Series(pd.arrays.FloatingArray(out, mask))
+
+
+def scorer_udf(scorer: str, form: str = "normalized_similarity", *,
+               score_cutoff: Optional[float] = None, weights=None,
+               pad: bool = True, prefix_weight: float = 0.1):
+    """Vectorized pandas UDF ``(s1, s2) -> double`` (NULL = suppressed).
+
+    Cutoff semantics follow the reference (src/common.rs:33-86): the
+    score is never altered, only suppressed to NULL — so an additional
+    ``WHERE score >= cutoff`` is behaviorally identical and lets
+    Catalyst see the filter.
+    """
+    if scorer not in SCORERS:
+        raise ValueError(f"unknown scorer {scorer!r}; one of {SCORERS}")
+    if form not in FORMS:
+        raise ValueError(f"unknown form {form!r}; one of {FORMS}")
+    w = tuple(weights) if weights is not None else None
+
+    @pandas_udf("double")
+    def _udf(s1: pd.Series, s2: pd.Series) -> pd.Series:
+        out = batch_scores(scorer, form, s1.to_numpy(), s2.to_numpy(),
+                           score_cutoff=score_cutoff, weights=w, pad=pad,
+                           prefix_weight=prefix_weight)
+        return _to_nullable(out)
+
+    _udf.__name__ = f"{scorer}_{form}"
+    return _udf
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_udf(scorer, form, score_cutoff, weights, pad, prefix_weight):
+    return scorer_udf(scorer, form, score_cutoff=score_cutoff,
+                      weights=weights, pad=pad, prefix_weight=prefix_weight)
+
+
+def scorer_column(scorer: str, s1: Column | str, s2: Column | str,
+                  form: str = "normalized_similarity", *,
+                  score_cutoff: Optional[float] = None, weights=None,
+                  pad: bool = True, prefix_weight: float = 0.1) -> Column:
+    """Convenience: a ready-to-select score column."""
+    udf = _cached_udf(scorer, form, score_cutoff,
+                      tuple(weights) if weights else None, pad, prefix_weight)
+    c1 = F.col(s1) if isinstance(s1, str) else s1
+    c2 = F.col(s2) if isinstance(s2, str) else s2
+    return udf(c1, c2)
+
+
+def length_prefilter(len1: Column, len2: Column, scorer: str,
+                     cutoff: float) -> Column:
+    """Catalyst-native pruning predicate: TRUE iff the pair can still
+    reach ``normalized_similarity >= cutoff`` based on lengths alone.
+
+    ratio/indel: sim <= 2*min/(l1+l2)  (LCS <= min(l1, l2);
+      src/distance/indel.rs:85-94 equivalent algebra).
+    levenshtein/osa/dl/lcs_seq: dist >= |l1-l2|, maximum = max ->
+      sim <= min/max (src/distance/levenshtein.rs:1045-1047).
+    jaro family: sim <= (min/l1 + min/l2 + 1)/3 (length_filter,
+      src/distance/jaro.rs:122-131); both-empty = 1.0 handled by
+      the equality of the bound.
+    hamming/prefix/postfix: sim <= min/max.
+    """
+    lo = F.least(len1, len2).cast("double")
+    hi = F.greatest(len1, len2).cast("double")
+    both_empty = (len1 + len2) == 0
+    if scorer in ("ratio", "indel", "partial_ratio", "token_sort_ratio",
+                  "token_set_ratio"):
+        bound = F.when(both_empty, F.lit(1.0)).otherwise(
+            2.0 * lo / (len1 + len2).cast("double"))
+    elif scorer in ("jaro", "jaro_winkler"):
+        # jaro_winkler boost: sim' = sim + p*w*(1-sim) <= (bound+0.4(1-bound))
+        # conservative: apply max prefix boost to the jaro length bound
+        jb = (F.when(both_empty, F.lit(1.0))
+               .when(lo == 0, F.lit(0.0))
+               .otherwise((lo / hi + 2.0) / 3.0))
+        if scorer == "jaro_winkler":
+            bound = jb + 0.4 * (1.0 - jb)
+        else:
+            bound = jb
+    else:
+        bound = F.when(both_empty, F.lit(1.0)).otherwise(lo / hi)
+    return bound >= F.lit(float(cutoff))
+
+
+def sha256_column(col: Column | str) -> Column:
+    """Per-row content integrity hash (BASELINE.json: sha256 equality)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sha2(c.cast("binary"), 256)

@@ -1,0 +1,158 @@
+"""Blocking: candidate-key generation, block census, skew defusal.
+
+Key families (each a (id, block_key) relation; union = recall ∪):
+
+* ``exact``    — sha256(content): exact duplicates, zero scoring cost.
+* ``path``     — (lang, normalized path stem): cheap structural key.
+* ``minhash``  — MinHash-LSH over character shingles of normalized
+  content: b bands × r rows; two files share a band key with
+  probability 1-(1-j^r)^b for Jaccard j (the LSH S-curve).  Computed in
+  ONE vectorized pandas UDF returning array<long>, then exploded —
+  no per-row Python (BASELINE.json:input_hint).
+
+Skew defusal: a single giant block produces O(n²) pairs no matter what
+AQE does to the *join*, so oversized blocks are length-sorted and
+re-keyed into overlapping sorted-neighborhood windows (bounded pairs,
+documented recall tradeoff) — SURVEY.md §4 "what Catalyst cannot do".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["normalize_content", "block_keys", "defuse_skew", "minhash_bands_udf"]
+
+# large 63-bit primes for the affine minhash family
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
+                      shingle: int = 5, max_chars: int = 2000,
+                      seed: int = 1729):
+    """pandas UDF: content -> array<long> of b band keys.
+
+    MinHash over character shingles of the first ``max_chars`` chars
+    (content prefix shingles per BASELINE.json north_star).  Band key =
+    hash of the band's row signature, offset by band index so keys from
+    different bands never collide.
+    """
+    n_hashes = n_bands * rows_per_band
+    A, B = _hash_family(n_hashes, seed)
+
+    @pandas_udf("array<long>")
+    def _udf(content: pd.Series) -> pd.Series:
+        out = []
+        for text in content:
+            if text is None:
+                out.append(None)
+                continue
+            t = text[:max_chars]
+            if len(t) < shingle:
+                # deterministic short-string hash (Python hash() is salted)
+                hv = np.uint64(1469598103934665603)
+                for ch in t:
+                    hv = (hv * np.uint64(1099511628211)) ^ np.uint64(ord(ch))
+                shingles = np.array([np.int64(hv >> np.uint64(1))], dtype=np.int64)
+            else:
+                # vectorized shingle hashing: polynomial over code points
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+                codes = codes.astype(np.uint64)
+                k = shingle
+                h = np.zeros(len(codes) - k + 1, dtype=np.uint64)
+                for i in range(k):
+                    h = h * np.uint64(1000003) + codes[i: len(codes) - k + 1 + i]
+                shingles = np.unique(h).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
+            # minhash: (a*x + b) mod p, min over shingles, per hash fn
+            x = shingles.astype(np.uint64)[None, :]
+            vals = (A.astype(np.uint64)[:, None] * x
+                    + B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+            sig = vals.min(axis=1)  # (n_hashes,)
+            bands = sig.reshape(n_bands, rows_per_band)
+            keys = np.zeros(n_bands, dtype=np.uint64)
+            for r in range(rows_per_band):
+                keys = keys * np.uint64(0x9E3779B97F4A7C15) + bands[:, r]
+            keys = (keys >> np.uint64(1)).astype(np.int64)  # keep positive
+            keys += np.arange(n_bands, dtype=np.int64) << np.int64(56)
+            out.append(keys.tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
+def normalize_content(col):
+    """Light normalization before shingling (lowercase, collapse ws)."""
+    return F.lower(F.regexp_replace(col, r"\s+", " "))
+
+
+def block_keys(files: DataFrame, *, use_exact: bool = True,
+               use_path: bool = True, use_minhash: bool = True,
+               n_bands: int = 8, rows_per_band: int = 4,
+               shingle: int = 5, max_chars: int = 2000) -> DataFrame:
+    """(id, block_key:string) relation — union over key families."""
+    parts = []
+    if use_exact:
+        parts.append(files.select(
+            "id", F.concat(F.lit("x:"), F.sha2(F.col("content").cast("binary"), 256))
+            .alias("block_key")))
+    if use_path:
+        stem = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1),
+                                r"^([A-Za-z_]+)", 1)
+        parts.append(files.select(
+            "id", F.concat(F.lit("p:"), F.col("lang"), F.lit("/"),
+                           F.lower(stem)).alias("block_key")))
+    if use_minhash:
+        mh = minhash_bands_udf(n_bands=n_bands, rows_per_band=rows_per_band,
+                               shingle=shingle, max_chars=max_chars)
+        parts.append(
+            files.select("id", F.explode(mh(normalize_content(F.col("content"))))
+                         .alias("bk"))
+            .select("id", F.concat(F.lit("m:"), F.col("bk").cast("string"))
+                    .alias("block_key")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def defuse_skew(blocks: DataFrame, files_len: DataFrame,
+                max_block: int = 200, window: int = 20) -> DataFrame:
+    """Bound pair blow-up of oversized blocks.
+
+    Blocks with <= max_block members pass through.  Larger blocks are
+    sorted by content length (near-dups have near-equal lengths — the
+    length-difference prune would reject far-apart pairs anyway) and
+    re-keyed into overlapping windows of ``window`` members with 50%
+    overlap: pairs per member bounded by ~2*window instead of n.
+
+    ``files_len``: (id, content_len).
+    """
+    counted = blocks.join(
+        blocks.groupBy("block_key").agg(F.count("*").alias("_bsize")),
+        "block_key")
+    small = counted.where(F.col("_bsize") <= max_block).select("id", "block_key")
+    big = counted.where(F.col("_bsize") > max_block).join(files_len, "id")
+    if big.isEmpty():
+        return small
+    from pyspark.sql import Window
+    w = Window.partitionBy("block_key").orderBy("content_len", "id")
+    ranked = big.withColumn("_rank", F.row_number().over(w) - 1)
+    half = max(1, window // 2)
+    w0 = ranked.select(
+        "id", F.concat(F.col("block_key"), F.lit("#w"),
+                       (F.col("_rank") / window).cast("long").cast("string"))
+        .alias("block_key"))
+    w1 = ranked.select(
+        "id", F.concat(F.col("block_key"), F.lit("#v"),
+                       ((F.col("_rank") + half) / window).cast("long").cast("string"))
+        .alias("block_key"))
+    return small.unionByName(w0).unionByName(w1)

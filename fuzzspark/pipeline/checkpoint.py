@@ -1,0 +1,98 @@
+"""Stage checkpointing, lineage manifests, resume.
+
+Every pipeline stage writes parquet (Iceberg in prod — same API shape,
+``format("iceberg")``) plus a ``_MANIFEST.json`` recording: stage
+params hash, row count, schema, per-partition row counts
+(``spark_partition_id()``), and for scoring stages a score histogram —
+the "per-partition lineage + metrics" of BASELINE.json:north_rule.
+
+``StageRunner.run`` skips any stage whose manifest exists and matches
+the current params hash — a killed run resumes from the last complete
+stage (tests/test_resume.py kills between stages and re-runs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["StageRunner", "params_hash"]
+
+MANIFEST = "_MANIFEST.json"
+
+
+def params_hash(params: dict) -> str:
+    return hashlib.sha256(
+        json.dumps(params, sort_keys=True, default=str).encode()).hexdigest()[:16]
+
+
+def _score_histogram(df: DataFrame, col: str, bins: int = 20):
+    binned = (df.where(F.col(col).isNotNull())
+              .select(F.least(F.lit(bins - 1),
+                              F.floor(F.col(col) * bins).cast("int")).alias("b"))
+              .groupBy("b").count().orderBy("b").collect())
+    return {int(r["b"]): int(r["count"]) for r in binned}
+
+
+@dataclass
+class StageRunner:
+    spark: SparkSession
+    root: str
+    params: dict = field(default_factory=dict)
+    stages_run: list = field(default_factory=list)
+    stages_skipped: list = field(default_factory=list)
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), MANIFEST)
+
+    def is_complete(self, stage: str) -> bool:
+        p = self.manifest_path(stage)
+        if not os.path.exists(p):
+            return False
+        try:
+            m = json.load(open(p))
+        except Exception:
+            return False
+        return m.get("params_hash") == params_hash(self.params) and m.get("complete")
+
+    def run(self, stage: str, build: Callable[[], DataFrame], *,
+            score_col: str | None = None,
+            repartition: int | None = None) -> DataFrame:
+        """Build + persist a stage, or reload it if already complete."""
+        out_dir = self._dir(stage)
+        if self.is_complete(stage):
+            self.stages_skipped.append(stage)
+            return self.spark.read.parquet(out_dir)
+        t0 = time.time()
+        df = build()
+        if repartition:
+            df = df.repartition(repartition)
+        df.write.mode("overwrite").parquet(out_dir)
+        persisted = self.spark.read.parquet(out_dir)
+        part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
+                       .count().collect())
+        manifest = {
+            "stage": stage,
+            "params_hash": params_hash(self.params),
+            "row_count": int(persisted.count()),
+            "schema": persisted.schema.jsonValue(),
+            "partition_rows": {int(r["pid"]): int(r["count"]) for r in part_counts},
+            "elapsed_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "complete": True,
+        }
+        if score_col is not None:
+            manifest["score_histogram"] = _score_histogram(persisted, score_col)
+        with open(self.manifest_path(stage), "w") as f:
+            json.dump(manifest, f, indent=1)
+        self.stages_run.append(stage)
+        return persisted

@@ -1,0 +1,74 @@
+"""Transitive clustering: connected components on match edges.
+
+Implements the alternating large-star / small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+public literature; the reference has no clustering at all, this stage
+comes from BASELINE.json:north_rule).  Each round is two
+``groupBy(node).agg(min(...))`` + join shuffles; converges in
+O(log n) rounds with deterministic min-id labels so reruns reproduce
+byte-identical cluster ids.  ``localCheckpoint`` truncates lineage so
+the iterative plan doesn't snowball.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["connected_components"]
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    if "left_id" in edges.columns:
+        e = edges.select(F.col("left_id").alias("u"),
+                         F.col("right_id").alias("v"))
+    else:
+        e = edges.select("u", "v")
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    mins = (e.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .withColumn("mn", F.least("mn", "u")))
+    return (e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Connect all smaller-or-equal neighbors of u to the minimum."""
+    ee = e.where(F.col("v") <= F.col("u"))
+    mins = (ee.groupBy("u").agg(F.min("v").alias("mn")))
+    out = (ee.join(mins, "u")
+           .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+           .where(F.col("u") != F.col("v")))
+    anchor = mins.select(F.col("u"), F.col("mn").alias("v"))
+    return out.unionByName(anchor).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
+    min member id.  Nodes absent from ``edges`` are not returned
+    (callers union isolated nodes as their own cluster)."""
+    e = _symmetrize(edges).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        # both stars operate on the symmetrized neighborhood view; the
+        # output of small-star is directed, so re-symmetrize each round
+        e2 = _small_star(
+            _symmetrize(_large_star(_symmetrize(e).distinct()))
+        ).localCheckpoint()
+        # converged when the undirected edge multiset is stable
+        sym_old = _symmetrize(e).distinct()
+        sym_new = _symmetrize(e2).distinct()
+        changed = (sym_new.exceptAll(sym_old).limit(1).count()
+                   + sym_old.exceptAll(sym_new).limit(1).count())
+        e = e2
+        if changed == 0:
+            break
+    labels = (_symmetrize(e).groupBy("u")
+              .agg(F.min("v").alias("mn"))
+              .select(F.col("u").alias("id"),
+                      F.least("u", "mn").alias("cluster_id")))
+    return labels

@@ -1,0 +1,125 @@
+"""End-to-end record-linkage pipeline (BASELINE.json:north_rule).
+
+stages: 01_files (+sha256 integrity) → 02_blocks → 03_pairs →
+04_scores → 05_clusters.  Every stage checkpoints via StageRunner and
+resumes mid-pipeline after a kill.  All heavy compute is vectorized
+(scorer pandas UDF over Arrow batches; everything else Catalyst-native).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from fuzzspark.functions import scorer_column, sha256_column
+from fuzzspark.pipeline.blocking import block_keys, defuse_skew
+from fuzzspark.pipeline.checkpoint import StageRunner
+from fuzzspark.pipeline.cluster import connected_components
+from fuzzspark.pipeline.pairs import candidate_pairs
+
+__all__ = ["LinkageConfig", "run_pipeline"]
+
+
+@dataclass
+class LinkageConfig:
+    scorer: str = "ratio"
+    threshold: float = 0.9
+    n_bands: int = 8
+    rows_per_band: int = 4
+    shingle: int = 5
+    max_chars: int = 2000
+    max_block: int = 200
+    window: int = 20
+    use_exact: bool = True
+    use_path: bool = True
+    use_minhash: bool = True
+    cc_max_iter: int = 20
+
+    def as_dict(self):
+        return dict(self.__dict__)
+
+
+def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
+                 config: LinkageConfig | None = None) -> dict:
+    """Returns dict of stage DataFrames: files, blocks, pairs, scores,
+    clusters — plus the StageRunner (for resume introspection).
+
+    ``files`` must have columns (id, repo, path, commit, lang, content).
+    """
+    cfg = config or LinkageConfig()
+    runner = StageRunner(spark, workdir, params=cfg.as_dict())
+
+    files_ck = runner.run(
+        "01_files",
+        lambda: files.withColumn("content_sha256", sha256_column("content"))
+                     .withColumn("content_len", F.length("content")))
+
+    # per-row integrity: recompute sha256 on the persisted stage and
+    # anti-join against the in-flight hash — any drift fails loudly.
+    drift = (files_ck
+             .withColumn("_recheck", sha256_column("content"))
+             .where(F.col("_recheck") != F.col("content_sha256")))
+    n_drift = drift.limit(1).count()
+    if n_drift:
+        raise RuntimeError("content sha256 integrity violation in 01_files")
+
+    blocks = runner.run(
+        "02_blocks",
+        lambda: defuse_skew(
+            block_keys(files_ck, use_exact=cfg.use_exact, use_path=cfg.use_path,
+                       use_minhash=cfg.use_minhash, n_bands=cfg.n_bands,
+                       rows_per_band=cfg.rows_per_band, shingle=cfg.shingle,
+                       max_chars=cfg.max_chars),
+            files_ck.select("id", "content_len"),
+            max_block=cfg.max_block, window=cfg.window))
+
+    pairs = runner.run(
+        "03_pairs",
+        lambda: candidate_pairs(files_ck, blocks, scorer=cfg.scorer,
+                                cutoff=cfg.threshold))
+
+    def _score():
+        scored = pairs.withColumn(
+            "score",
+            F.when(F.col("exact_equal"), F.lit(1.0)).otherwise(
+                scorer_column(cfg.scorer, "s1", "s2",
+                              "normalized_similarity")))
+        return scored.select("left_id", "right_id", "len1", "len2",
+                             "exact_equal", "score")
+
+    scores = runner.run("04_scores", _score, score_col="score")
+
+    def _cluster():
+        edges = scores.where(F.col("score") >= cfg.threshold) \
+                      .select("left_id", "right_id")
+        labels = connected_components(edges, max_iter=cfg.cc_max_iter)
+        # isolated nodes -> singleton clusters
+        return (files_ck.select("id").join(labels, "id", "left_outer")
+                .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))
+
+    clusters = runner.run("05_clusters", _cluster)
+
+    return dict(files=files_ck, blocks=blocks, pairs=pairs, scores=scores,
+                clusters=clusters, runner=runner)
+
+
+def evaluate_f1(scores: DataFrame, labeled: DataFrame, threshold: float) -> dict:
+    """Pairwise P/R/F1 of predicted matches vs labeled same-block pairs."""
+    pred = (scores.where(F.col("score") >= threshold)
+            .select("left_id", "right_id").withColumn("pred", F.lit(True)))
+    j = labeled.join(pred, ["left_id", "right_id"], "left_outer")
+    agg = j.agg(
+        F.sum(F.when(F.col("is_match") & F.col("pred").isNotNull(), 1)
+              .otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("is_match") & F.col("pred").isNotNull(), 1)
+              .otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("is_match") & F.col("pred").isNull(), 1)
+              .otherwise(0)).alias("fn"),
+    ).collect()[0]
+    tp, fp, fn = agg["tp"] or 0, agg["fp"] or 0, agg["fn"] or 0
+    precision = tp / (tp + fp) if tp + fp else 1.0
+    recall = tp / (tp + fn) if tp + fn else 1.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return dict(tp=tp, fp=fp, fn=fn, precision=precision, recall=recall, f1=f1)

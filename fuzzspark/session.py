@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local test/bench sessions mirror the configs we would ship to a real
+cluster: AQE on (skew-join splitting + partition coalescing), Arrow
+batches bounded so Python-worker memory stays flat regardless of
+content size (the reference allocates O(N) per comparison,
+src/distance/levenshtein.rs:48-62 — our analog is bounding rows/batch).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS_PER_BATCH = 2048
+
+
+def get_spark(app_name: str = "fuzzspark", cpus: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or None
+    master = f"local[{cpus}]" if cpus else "local[*]"
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                str(ARROW_MAX_RECORDS_PER_BATCH))
+        .config("spark.driver.memory", os.environ.get("FUZZSPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def package_zip(dest_dir: str | None = None) -> str:
+    """Zip the fuzzspark package for spark-submit --py-files / addPyFile."""
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    dest = os.path.join(dest_dir or tempfile.gettempdir(), "fuzzspark_pkg.zip")
+    with zipfile.ZipFile(dest, "w") as zf:
+        for dirpath, _dirs, fnames in os.walk(pkg_dir):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in fnames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, root))
+    return dest
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``fuzzspark`` importable on executors regardless of cwd —
+    the addPyFile equivalent of ``spark-submit --py-files`` (north_rule
+    packaging requirement), idempotent per session."""
+    sc = spark.sparkContext
+    if getattr(sc, "_fuzzspark_shipped", False):
+        return
+    try:
+        sc.addPyFile(package_zip())
+    except Exception:  # already added under this name
+        pass
+    sc._fuzzspark_shipped = True
