@@ -1,0 +1,139 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Five strategies, cheapest-first (the standard training-data stack):
+
+* exact       — groupBy sha256(content): one shuffle, no scoring.
+* minhash-LSH — fuzzspark.pipeline.blocking.minhash_bands_udf (shared
+  with the linkage pipeline): near-dup candidates at ~O(n) via band
+  bucketing; verify candidates with n-gram Jaccard or ``ratio``.
+* simhash     — 64-bit token-hash fingerprint; near-dups differ in few
+  bits; bucket by rotated prefixes for Hamming-radius search.
+* n-gram Jaccard — exact set similarity, Catalyst-native (array ops).
+* embedding cosine — see fuzzspark.extras.similarity.
+
+All UDFs are Arrow-batched pandas UDFs (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["exact_dup_clusters", "simhash_udf", "simhash64",
+           "simhash_near_dup_pairs", "ngram_jaccard_col",
+           "minhash_near_dup_pairs"]
+
+
+def exact_dup_clusters(df: DataFrame, content_col: str = "content",
+                       id_col: str = "id") -> DataFrame:
+    """(content_sha, dup_count, keep_id, member_ids) for groups > 1."""
+    return (df.groupBy(F.sha2(F.col(content_col).cast("binary"), 256)
+                       .alias("content_sha"))
+            .agg(F.count("*").alias("dup_count"),
+                 F.min(id_col).alias("keep_id"),
+                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
+            .where(F.col("dup_count") > 1))
+
+
+def simhash64(text: str) -> int:
+    """Deterministic 64-bit SimHash over whitespace tokens (md5-based
+    token hashes — stable across processes, unlike Python hash())."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out >> np.uint64(1))  # keep in signed-long range
+
+
+def simhash_udf():
+    @pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: simhash64(t) if t is not None else None)
+    return _udf
+
+
+def simhash_near_dup_pairs(df: DataFrame, *, id_col: str = "id",
+                           content_col: str = "content",
+                           max_hamming: int = 3,
+                           n_blocks: int = 4) -> DataFrame:
+    """Candidate pairs whose SimHashes differ in <= max_hamming bits.
+
+    Pigeonhole bucketing: split the 63-bit hash into ``n_blocks``
+    blocks; any pair within Hamming radius n_blocks-1 shares at least
+    one exact block.  Self-join per block key, then exact popcount
+    filter (bit_count is Catalyst-native — JVM-side)."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   simhash_udf()(F.col(content_col)).alias("simhash"))
+    width = 64 // n_blocks
+    keys = None
+    for b in range(n_blocks):
+        k = sh.select(
+            "id", "simhash",
+            F.concat(F.lit(f"{b}:"),
+                     F.shiftrightunsigned(F.col("simhash"), b * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).cast("string"))
+            .alias("bkey"))
+        keys = k if keys is None else keys.unionByName(k)
+    a, b_ = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b_, F.col("a.bkey") == F.col("b.bkey"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("left_id"),
+                    F.col("b.id").alias("right_id"),
+                    F.col("a.simhash").alias("h1"),
+                    F.col("b.simhash").alias("h2"))
+            .dropDuplicates(["left_id", "right_id"]))
+    return (cand.withColumn(
+        "hamming_bits", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .where(F.col("hamming_bits") <= max_hamming)
+        .select("left_id", "right_id", "hamming_bits"))
+
+
+def ngram_jaccard_col(s1, s2, n: int = 3):
+    """Catalyst-native n-gram Jaccard similarity column (no UDF)."""
+    def grams(c):
+        return F.array_distinct(F.expr(
+            f"transform(sequence(1, greatest(length({c}) - {n - 1}, 0)),"
+            f" k -> substr({c}, k, {n}))"))
+    g1, g2 = grams(s1), grams(s2)
+    inter = F.size(F.array_intersect(g1, g2))
+    union = F.size(F.array_union(g1, g2))
+    return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "id",
+                           content_col: str = "content",
+                           jaccard_cutoff: float = 0.7,
+                           n_bands: int = 8, rows_per_band: int = 4,
+                           shingle: int = 5) -> DataFrame:
+    """MinHash-LSH candidates verified by exact n-gram Jaccard."""
+    from fuzzspark.pipeline.blocking import minhash_bands_udf, normalize_content
+    mh = minhash_bands_udf(n_bands=n_bands, rows_per_band=rows_per_band,
+                           shingle=shingle)
+    keys = df.select(F.col(id_col).alias("id"),
+                     F.explode(mh(normalize_content(F.col(content_col))))
+                     .alias("bkey"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, F.col("a.bkey") == F.col("b.bkey"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("left_id"),
+                    F.col("b.id").alias("right_id"))
+            .dropDuplicates(["left_id", "right_id"]))
+    sides = df.select(F.col(id_col).alias("id"),
+                      normalize_content(F.col(content_col)).alias("norm"))
+    j = (cand
+         .join(sides.select(F.col("id").alias("left_id"),
+                            F.col("norm").alias("s1")), "left_id")
+         .join(sides.select(F.col("id").alias("right_id"),
+                            F.col("norm").alias("s2")), "right_id")
+         .withColumn("jaccard", ngram_jaccard_col("s1", "s2", n=shingle)))
+    return (j.where(F.col("jaccard") >= jaccard_cutoff)
+            .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard")))

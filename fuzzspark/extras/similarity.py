@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk``     — brute-force exact top-k: broadcast the query
+  set, Catalyst-native zip_with/aggregate dot products, window top-k.
+  The baseline and the verifier for the approximate path.
+* ``lsh_cosine_topk`` — scale path: random-hyperplane LSH (SimHash for
+  vectors, Charikar 2002).  Probe only candidates sharing a band key;
+  recall tunable via bands/bits.  At 10^12 rows the brute-force
+  crossJoin is O(n·q); LSH bounds the per-query candidate set.
+* ``ivf_topk``        — IVF-style: k-means-lite centroid assignment
+  (seeded, one pass), probe nprobe nearest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_topk"]
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def _as_double(df, col):
+    return df.withColumn(col, F.col(col).cast("array<double>"))
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                query_id_col: str = "query_id") -> DataFrame:
+    """Exact brute-force cosine top-k.  ``queries`` is small -> broadcast."""
+    c = _as_double(embeddings.select(F.col(id_col).alias("cand_id"),
+                                     F.col(emb_col).alias("ce")), "ce")
+    q = _as_double(queries.select(F.col(query_id_col).alias("query_id"),
+                                  F.col(emb_col).alias("qe")), "qe")
+    scored = (F.broadcast(q).crossJoin(c)
+              .where(F.col("query_id") != F.col("cand_id"))
+              .withColumn("cos", _dot(F.col("qe"), F.col("ce"))
+                          / (_norm(F.col("qe")) * _norm(F.col("ce")))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cos", "rank"))
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_band_udf(dim: int, n_bands: int = 4, bits_per_band: int = 8,
+                 seed: int = 4242):
+    """pandas UDF: embedding -> array<long> of band keys (sign-random-
+    projection LSH; Charikar 2002 public construction)."""
+    H = _hyperplanes(dim, n_bands * bits_per_band, seed)
+
+    @pandas_udf("array<long>")
+    def _udf(emb: pd.Series) -> pd.Series:
+        out = []
+        mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+        signs = (mat @ H.T) > 0  # (n, bands*bits)
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for row in signs:
+            bands = row.reshape(n_bands, bits_per_band)
+            keys = (bands * weights).sum(axis=1)
+            keys += np.arange(n_bands, dtype=np.int64) << np.int64(32)
+            out.append(keys.tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
+                    dim: int, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    n_bands: int = 8, bits_per_band: int = 8,
+                    seed: int = 4242) -> DataFrame:
+    """Approximate top-k: score only candidates sharing an LSH band."""
+    udf = lsh_band_udf(dim, n_bands, bits_per_band, seed)
+    c = _as_double(embeddings.select(F.col(id_col).alias("cand_id"),
+                                     F.col(emb_col).alias("ce")), "ce")
+    q = _as_double(queries.select(F.col(query_id_col).alias("query_id"),
+                                  F.col(emb_col).alias("qe")), "qe")
+    ck = c.select("cand_id", "ce", F.explode(udf(F.col("ce"))).alias("bkey"))
+    qk = q.select("query_id", "qe", F.explode(udf(F.col("qe"))).alias("bkey"))
+    cand = (F.broadcast(qk).join(ck, "bkey")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .dropDuplicates(["query_id", "cand_id"]))
+    scored = cand.withColumn("cos", _dot(F.col("qe"), F.col("ce"))
+                             / (_norm(F.col("qe")) * _norm(F.col("ce"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cos", "rank"))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
+             dim: int, n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             query_id_col: str = "query_id", seed: int = 99) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest seeded random
+    centroid (one broadcast pass), probe the ``nprobe`` nearest cells
+    per query.  Centroids are deterministic unit Gaussians — a stand-in
+    for a trained codebook; the partition/probe plumbing is the point."""
+    rng = np.random.default_rng(seed)
+    cents = rng.standard_normal((n_cells, dim))
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
+    def assign_udf(top: int):
+        @pandas_udf("array<int>")
+        def _udf(emb: pd.Series) -> pd.Series:
+            mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
+            norm = np.linalg.norm(mat, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            sims = (mat / norm) @ cents.T
+            idx = np.argsort(-sims, axis=1)[:, :top]
+            return pd.Series([row.tolist() for row in idx.astype(np.int32)])
+        return _udf
+
+    c = _as_double(embeddings.select(F.col(id_col).alias("cand_id"),
+                                     F.col(emb_col).alias("ce")), "ce")
+    q = _as_double(queries.select(F.col(query_id_col).alias("query_id"),
+                                  F.col(emb_col).alias("qe")), "qe")
+    ca = c.withColumn("cell", F.element_at(assign_udf(1)(F.col("ce")), 1))
+    qa = q.withColumn("cell", F.explode(assign_udf(nprobe)(F.col("qe"))))
+    cand = (F.broadcast(qa).join(ca, "cell")
+            .where(F.col("query_id") != F.col("cand_id"))
+            .dropDuplicates(["query_id", "cand_id"]))
+    scored = cand.withColumn("cos", _dot(F.col("qe"), F.col("ce"))
+                             / (_norm(F.col("qe")) * _norm(F.col("ce"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "cos", "rank"))

@@ -52,21 +52,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
     min member id.  Nodes absent from ``edges`` are not returned
     (callers union isolated nodes as their own cluster)."""
+    def _fingerprint(df: DataFrame) -> tuple:
+        """(edge count, order-insensitive 64-bit content hash) — one
+        light aggregation instead of two exceptAll joins per round."""
+        row = (df.agg(F.count("*").alias("n"),
+                      F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0])
+        return (row["n"], row["h"])
+
     e = _symmetrize(edges).distinct().localCheckpoint()
+    prev_fp = None
     for _ in range(max_iter):
         # both stars operate on the symmetrized neighborhood view; the
         # output of small-star is directed, so re-symmetrize each round
         e2 = _small_star(
             _symmetrize(_large_star(_symmetrize(e).distinct()))
         ).localCheckpoint()
-        # converged when the undirected edge multiset is stable
-        sym_old = _symmetrize(e).distinct()
-        sym_new = _symmetrize(e2).distinct()
-        changed = (sym_new.exceptAll(sym_old).limit(1).count()
-                   + sym_old.exceptAll(sym_new).limit(1).count())
+        fp = _fingerprint(e2)
         e = e2
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     labels = (_symmetrize(e).groupBy("u")
               .agg(F.min("v").alias("mn"))
               .select(F.col("u").alias("id"),
