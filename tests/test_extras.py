@@ -1,0 +1,161 @@
+"""Tests for the training-data-pipeline extras: dedup family, similarity
+search, text stats, multimodal plumbing."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),   # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog", "en"),  # near dup
+        (4, "def parse(value): return value.strip().lower()", "code"),
+        (5, "def parse(value): return value.strip().upper()", "code"),  # near dup of 4
+        (6, "completely different content about weather patterns", "en"),
+        (7, "der hund und die katze sind nicht zu hause", "de"),
+        (8, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "id: long, content: string, lang: string")
+
+
+def test_exact_dedup(spark, docs):
+    from fuzzspark.extras.dedup import exact_dup_clusters
+    out = exact_dup_clusters(docs).collect()
+    assert len(out) == 1
+    assert out[0]["dup_count"] == 2
+    assert out[0]["keep_id"] == 1
+    assert out[0]["member_ids"] == [1, 2]
+
+
+def test_simhash_deterministic_and_near(spark, docs):
+    from fuzzspark.extras.dedup import simhash64, simhash_near_dup_pairs
+    # deterministic across calls
+    assert simhash64("hello world") == simhash64("hello world")
+    # near-dup docs differ in few bits; unrelated docs in many
+    h1 = simhash64("the quick brown fox jumps over the lazy dog")
+    h3 = simhash64("the quick brown fox jumped over the lazy dog")
+    h6 = simhash64("completely different content about weather patterns")
+    near = bin(h1 ^ h3).count("1")
+    far = bin(h1 ^ h6).count("1")
+    assert near < far
+    pairs = simhash_near_dup_pairs(docs, content_col="content",
+                                   max_hamming=near).collect()
+    found = {(r["left_id"], r["right_id"]) for r in pairs}
+    assert (1, 2) in found  # identical -> hamming 0
+    assert (1, 3) in found or (2, 3) in found
+
+
+def test_minhash_near_dup(spark, docs):
+    from fuzzspark.extras.dedup import minhash_near_dup_pairs
+    out = minhash_near_dup_pairs(docs, content_col="content",
+                                 jaccard_cutoff=0.5).collect()
+    found = {(r["left_id"], r["right_id"]) for r in out}
+    assert (1, 2) in found
+    assert (1, 3) in found
+    assert not any({6} & set(p) for p in found)
+
+
+def test_ngram_jaccard_col(spark):
+    from fuzzspark.extras.dedup import ngram_jaccard_col
+    df = spark.createDataFrame([("abcd", "abcd"), ("abcd", "wxyz"),
+                                ("ab", "ab")],
+                               "s1: string, s2: string")
+    rows = df.withColumn("j", ngram_jaccard_col("s1", "s2", 3)).collect()
+    assert rows[0]["j"] == 1.0
+    assert rows[1]["j"] == 0.0
+    assert rows[2]["j"] == 1.0  # both below n -> empty sets -> defined as 1.0
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(x) for x in base[i]], i % 2))
+        # id+100 = small perturbation of id -> its nearest neighbor
+        rows.append((i + 100, [float(x) for x in base[i]
+                               + 0.01 * rng.standard_normal(16)], i % 2))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>, label: int")
+
+
+def test_cosine_topk_exact(spark, embeddings):
+    from fuzzspark.extras.similarity import cosine_topk
+    q = embeddings.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(embeddings, q, k=1).collect()
+    for r in out:
+        assert r["cand_id"] == r["query_id"] + 100, r
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    from fuzzspark.extras.similarity import lsh_cosine_topk
+    q = embeddings.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_cosine_topk(embeddings, q, k=1, dim=16,
+                          n_bands=8, bits_per_band=4).collect()
+    hits = sum(1 for r in out if r["cand_id"] == r["query_id"] + 100)
+    assert hits >= 6  # near-identical vectors share bands w.h.p.
+
+
+def test_ivf_topk(spark, embeddings):
+    from fuzzspark.extras.similarity import ivf_topk
+    q = embeddings.where("vec_id < 8").select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(embeddings, q, k=1, dim=16, n_cells=4, nprobe=4).collect()
+    hits = sum(1 for r in out if r["cand_id"] == r["query_id"] + 100)
+    assert hits == 8  # nprobe == n_cells -> exhaustive -> exact
+
+
+def test_textstats(spark, docs):
+    from fuzzspark.extras.textstats import quality_cols, token_count_col, langid_udf
+    out = (docs.withColumn("ntok", token_count_col("content"))
+           .withColumn("lang_guess", langid_udf()(F.col("content"))))
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["ntok"] == 9
+    assert rows[8]["ntok"] == 0
+    assert rows[1]["lang_guess"] == "en"
+    assert rows[7]["lang_guess"] == "de"
+    assert rows[4]["lang_guess"] == "code"
+    q = docs.select("id", *[v.alias(k) for k, v in
+                            quality_cols("content").items()]).collect()
+    for r in q:
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+
+
+def test_rolling_fingerprint(spark, docs):
+    from fuzzspark.extras.textstats import rolling_fingerprint_udf
+    out1 = {r["id"]: r["fp"] for r in docs.select(
+        "id", rolling_fingerprint_udf()(F.col("content")).alias("fp")).collect()}
+    out2 = {r["id"]: r["fp"] for r in docs.select(
+        "id", rolling_fingerprint_udf()(F.col("content")).alias("fp")).collect()}
+    assert out1 == out2  # deterministic
+    assert out1[1] == out1[2]  # identical docs -> identical fingerprint
+    assert out1[1] != out1[6]
+
+
+def test_multimodal_plumbing(spark, docs):
+    from fuzzspark.extras.multimodal import (extract_features, frame_sample_plan,
+                                             text_as_media)
+    media = text_as_media(docs, id_col="id", text_col="content")
+    assert media.schema["blob"].dataType.typeName() == "binary"
+    feats = extract_features(media, fake=True)
+    rows = {r["id"]: r for r in feats.collect()}
+    assert len(rows) == 8
+    v = json.loads(rows[1]["feature"])
+    assert len(v) == 8 and all(0.0 <= x <= 1.0 for x in v)
+    assert rows[1]["feature"] == rows[2]["feature"]  # same bytes, same feature
+    assert rows[1]["blob_sha"] != rows[3]["blob_sha"]
+    # real decode is explicitly stubbed
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False)
+    plan = frame_sample_plan(media, every_ms=100)
+    vids = media.where("kind = 'video'").count()
+    assert plan.count() >= vids  # at least one frame per video
+    assert plan.groupBy("id").count().count() == vids
