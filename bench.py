@@ -41,8 +41,14 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         return n
 
-    # warm the JVM + python workers once (excluded from timings)
+    # warm the JVM + one python worker per core (excluded from timings)
+    from pyspark.sql import functions as F
+    from fuzzspark.functions import scorer_column
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    warm = spark.range(0, CPUS * 4, 1, CPUS * 4).selectExpr(
+        "repeat('w', 64) as s1", "repeat('x', 64) as s2")
+    warm.withColumn("r", scorer_column("ratio", "s1", "s2")) \
+        .agg(F.sum("r")).collect()
 
     # 1. flagship scorer throughput: ratio over blocked document pairs
     def _ratio():

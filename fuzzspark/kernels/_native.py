@@ -1,0 +1,110 @@
+"""ctypes loader for the native batch kernels (_native.c).
+
+Compiles lazily, once per machine, into a shared cache dir keyed by the
+source hash (safe under concurrent python workers via atomic rename).
+Falls back to None when no compiler is available — callers must keep
+the pure-Python path.  Disable with FUZZSPARK_NO_NATIVE=1.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native.c")
+_LIB = None
+_TRIED = False
+
+KIND_LCS = 0
+KIND_LEV = 1
+KIND_OSA = 2
+
+
+def _compile() -> str | None:
+    try:
+        src = open(_SRC, "rb").read()
+    except OSError:
+        return None
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), "fuzzspark_native")
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, f"kernels_{tag}.so")
+    if os.path.exists(so):
+        return so
+    tmp = f"{so}.{os.getpid()}.tmp"
+    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    try:
+        r = subprocess.run(cmd, capture_output=True, timeout=120)
+        if r.returncode != 0:
+            return None
+        os.replace(tmp, so)  # atomic; racing workers converge on one file
+        return so
+    except Exception:
+        return None
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("FUZZSPARK_NO_NATIVE"):
+        return None
+    so = _compile()
+    if so is None:
+        return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.batch_metric.restype = ctypes.c_int
+        lib.batch_metric.argtypes = [
+            ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def _flatten(strs: list[str]):
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64,
+                       count=len(strs))
+    off = np.zeros(len(strs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    joined = "".join(strs)
+    codes = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+             if joined else np.zeros(0, dtype=np.uint32))
+    return np.ascontiguousarray(codes), off
+
+
+def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str]
+                 ) -> np.ndarray | None:
+    """Batch metric via the native kernel, or None if unavailable.
+    kind 0: LCS similarity; 1: levenshtein distance; 2: OSA distance."""
+    lib = get_lib()
+    if lib is None or not pat_strs:
+        return None if lib is None else np.zeros(0, dtype=np.int64)
+    pat, pat_off = _flatten(pat_strs)
+    txt, txt_off = _flatten(txt_strs)
+    out = np.empty(len(pat_strs), dtype=np.int64)
+    rc = lib.batch_metric(kind, pat, pat_off, txt, txt_off,
+                          len(pat_strs), out)
+    if rc != 0:  # pragma: no cover (allocation failure)
+        return None
+    return out

@@ -26,6 +26,11 @@ import numpy as np
 from . import fuzz as _fuzz
 from ._bitpar import lcs_core, levenshtein_core, osa_core, pattern_masks
 from ._bitpar_np import lcs_batch64, levenshtein_batch64, osa_batch64
+from ._lcs_blocked_np import lcs_blocked_batch
+from . import _native
+
+_NATIVE_KIND = {"lcs_seq": _native.KIND_LCS, "levenshtein": _native.KIND_LEV,
+                "osa": _native.KIND_OSA}
 from .common import strip_common_affix
 from .metrics import (
     ALL_METRICS,
@@ -77,7 +82,20 @@ def _pad_codes(strs: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
 def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndarray:
     """Exact distances for levenshtein/lcs(core=similarity)/osa over many
     pairs.  Returns raw *core* outputs: for 'lcs_seq' the LCS length of
-    the stripped remainder (caller adds affix back), else the distance."""
+    the stripped remainder (caller adds affix back), else the distance.
+
+    Fast path: the compiled batch kernel (_native.c) when a compiler is
+    available; else numpy across-pair uint64 lanes for short patterns
+    and big-int bit-parallel cores for long ones."""
+    native = _native.get_lib() is not None
+    if native and pairs:
+        # all three metrics are symmetric; the shorter side as pattern
+        # minimizes the word count
+        pat = [a if len(a) <= len(b) else b for a, b in pairs]
+        txt = [b if len(a) <= len(b) else a for a, b in pairs]
+        got = _native.native_batch(_NATIVE_KIND[kind], pat, txt)
+        if got is not None:
+            return got
     scalar_core, np_core = _BITPAR_CORES[kind]
     n = len(pairs)
     out = np.zeros(n, dtype=np.int64)
@@ -101,16 +119,24 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
         c2, l2 = _pad_codes([p[1] for p in short_pairs])
         out[short_idx] = np_core(c1, l1, c2, l2)
     if long_pairs:
-        # BatchComparator analog: reuse pattern masks per distinct s1
-        order = sorted(range(len(long_pairs)), key=lambda k: long_pairs[k][0])
-        masks = None
-        last = None
-        for k in order:
-            a, b = long_pairs[k]
-            if a is not last:
-                masks = pattern_masks(a)
-                last = a
-            out[long_idx[k]] = scalar_core(a, b, masks)
+        if kind == "lcs_seq":
+            # blocked numpy kernel, vectorized across pairs; LCS is
+            # symmetric so the shorter side becomes the pattern
+            pat = [min(a, b, key=len) for a, b in long_pairs]
+            txt = [max(b, a, key=len) for a, b in long_pairs]
+            out[long_idx] = lcs_blocked_batch(pat, txt)
+        else:
+            # BatchComparator analog: reuse pattern masks per distinct s1
+            order = sorted(range(len(long_pairs)),
+                           key=lambda k: long_pairs[k][0])
+            masks = None
+            last = None
+            for k in order:
+                a, b = long_pairs[k]
+                if a is not last:
+                    masks = pattern_masks(a)
+                    last = a
+                out[long_idx[k]] = scalar_core(a, b, masks)
     return out
 
 

@@ -69,7 +69,19 @@ def common_prefix_len(s1: str, s2: str) -> int:
 
 def common_suffix_len(s1: str, s2: str) -> int:
     """Length of the common suffix (src/details/common.rs:51-62)."""
-    return common_prefix_len(s1[::-1], s2[::-1])
+    n = min(len(s1), len(s2))
+    if n == 0 or s1[-1] != s2[-1]:
+        return 0
+    if s1[-n:] == s2[-n:]:
+        return n
+    lo, hi = 1, n
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if s1[-mid:] == s2[-mid:]:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def strip_common_affix(s1: str, s2: str) -> tuple[str, str]:
@@ -77,11 +89,16 @@ def strip_common_affix(s1: str, s2: str) -> tuple[str, str]:
 
     Reference: remove_common_affix, src/details/common.rs:79-108.
     """
-    p = common_prefix_len(s1, s2)
-    s1, s2 = s1[p:], s2[p:]
-    sfx = common_suffix_len(s1, s2)
-    if sfx:
-        s1, s2 = s1[:-sfx], s2[:-sfx]
+    # fast exits dominate on unrelated pairs
+    if not s1 or not s2:
+        return s1, s2
+    if s1[0] == s2[0]:
+        p = common_prefix_len(s1, s2)
+        s1, s2 = s1[p:], s2[p:]
+    if s1 and s2 and s1[-1] == s2[-1]:
+        sfx = common_suffix_len(s1, s2)
+        if sfx:
+            s1, s2 = s1[:-sfx], s2[:-sfx]
     return s1, s2
 
 

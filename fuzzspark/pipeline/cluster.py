@@ -56,7 +56,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         """(edge count, order-insensitive 64-bit content hash) — one
         light aggregation instead of two exceptAll joins per round."""
         row = (df.agg(F.count("*").alias("n"),
-                      F.sum(F.xxhash64("u", "v")).alias("h")).collect()[0])
+                      F.expr("bit_xor(xxhash64(u, v))").alias("h"))
+               .collect()[0])
         return (row["n"], row["h"])
 
     e = _symmetrize(edges).distinct().localCheckpoint()

@@ -23,7 +23,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-PAIR_MOD = int(os.environ.get("SCALING_PAIR_MOD", "3"))
+PAIR_MOD = int(os.environ.get("SCALING_PAIR_MOD", "1"))
 N_PARTS = int(os.environ.get("SCALING_PARTS", "128"))
 
 PREP = r"""
@@ -58,8 +58,11 @@ spark = get_spark("scaling-bench", cpus=cpus, shuffle_partitions=max(cpus, 8),
                               "spark.sql.files.openCostInBytes": "1m"})
 spark.sparkContext.setLogLevel("ERROR")
 pairs = spark.read.parquet(%(out)r)
-# warmup: spin up python workers on every core (excluded from timing)
-pairs.limit(5000).withColumn("r", scorer_column("ratio", "s1", "s2")).agg(F.sum("r")).collect()
+# warmup: spin up a python worker on EVERY core (limit() touches one
+# partition only and leaves 4N-1 cold workers inside the timed run)
+warm = spark.range(0, cpus * 4, 1, cpus * 4).selectExpr(
+    "repeat('w', 64) as s1", "repeat('x', 64) as s2")
+warm.withColumn("r", scorer_column("ratio", "s1", "s2")).agg(F.sum("r")).collect()
 t0 = time.time()
 n = (pairs.withColumn("score", scorer_column("ratio", "s1", "s2"))
      .where(F.col("score") >= 0.0).count())
