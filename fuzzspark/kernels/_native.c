@@ -259,3 +259,232 @@ int batch_metric(int kind,
     free(s1); free(s2); free(s3); free(s4);
     return rc;
 }
+
+/* ----------------------- Jaro similarity ---------------------------- */
+/* Greedy lowest-unflagged in-window matching + ordered-mismatch
+ * transposition count — behavior parity with src/distance/jaro.rs
+ * :422-515 (window bound = max_len/2 - 1). */
+
+typedef struct {
+    uint32_t *keys; int32_t *slot2char; uint32_t cap; int32_t nchars;
+} CharMap;
+
+static int cmap_build(CharMap *cm, const uint32_t *pat, int64_t m,
+                      int32_t *count /* per char, cap m */,
+                      int32_t *start, int32_t *ptr, int32_t *positions) {
+    uint32_t cap = 16;
+    while (cap < (uint32_t)(2 * m)) cap <<= 1;
+    cm->cap = cap; cm->nchars = 0;
+    cm->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+    cm->slot2char = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+    if (!cm->keys || !cm->slot2char) return -1;
+    memset(cm->keys, 0xFF, (size_t)cap * sizeof(uint32_t));
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t c = pat[i];
+        uint32_t slot = hash32(c) & (cap - 1);
+        while (cm->keys[slot] != EMPTY_KEY && cm->keys[slot] != c)
+            slot = (slot + 1) & (cap - 1);
+        if (cm->keys[slot] == EMPTY_KEY) {
+            cm->keys[slot] = c;
+            cm->slot2char[slot] = cm->nchars;
+            count[cm->nchars++] = 0;
+        }
+        count[cm->slot2char[slot]]++;
+    }
+    int32_t acc = 0;
+    for (int32_t c = 0; c < cm->nchars; c++) {
+        start[c] = acc; ptr[c] = acc; acc += count[c];
+    }
+    /* fill positions grouped by char */
+    int32_t *fill = (int32_t *)malloc((size_t)cm->nchars * sizeof(int32_t));
+    if (!fill) return -1;
+    memcpy(fill, start, (size_t)cm->nchars * sizeof(int32_t));
+    for (int64_t i = 0; i < m; i++) {
+        uint32_t c = pat[i];
+        uint32_t slot = hash32(c) & (cap - 1);
+        while (cm->keys[slot] != c) slot = (slot + 1) & (cap - 1);
+        positions[fill[cm->slot2char[slot]]++] = (int32_t)i;
+    }
+    free(fill);
+    return 0;
+}
+
+static inline int32_t cmap_char(const CharMap *cm, uint32_t c) {
+    uint32_t slot = hash32(c) & (cm->cap - 1);
+    while (1) {
+        uint32_t k = cm->keys[slot];
+        if (k == c) return cm->slot2char[slot];
+        if (k == EMPTY_KEY) return -1;
+        slot = (slot + 1) & (cm->cap - 1);
+    }
+}
+
+static double jaro_one(const uint32_t *p, int64_t m, const uint32_t *t,
+                       int64_t n, int32_t *count, int32_t *start,
+                       int32_t *ptr, int32_t *positions,
+                       int32_t *match_pos, uint32_t *t_chars,
+                       unsigned char *flag) {
+    if (m == 0 && n == 0) return 1.0;
+    if (m == 0 || n == 0) return 0.0;
+    if (m == 1 && n == 1) return (p[0] == t[0]) ? 1.0 : 0.0;
+    int64_t maxlen = m > n ? m : n;
+    int64_t bound = maxlen / 2 - 1;
+    CharMap cm;
+    if (cmap_build(&cm, p, m, count, start, ptr, positions) != 0) return -1.0;
+    int64_t mc = 0;
+    for (int64_t j = 0; j < n; j++) {
+        int32_t c = cmap_char(&cm, t[j]);
+        if (c < 0) continue;
+        int32_t end = start[c] + count[c];
+        int64_t lo = j - bound;
+        int32_t q = ptr[c];
+        while (q < end && positions[q] < lo) q++;
+        ptr[c] = q;
+        if (q < end && positions[q] <= j + bound) {
+            match_pos[mc] = positions[q];
+            t_chars[mc] = t[j];
+            mc++;
+            ptr[c] = q + 1;
+        }
+    }
+    free(cm.keys); free(cm.slot2char);
+    if (mc == 0) return 0.0;
+    /* pattern chars at matched positions, in pattern order */
+    memset(flag, 0, (size_t)m);
+    for (int64_t k = 0; k < mc; k++) flag[match_pos[k]] = 1;
+    int64_t transpositions = 0, k = 0;
+    for (int64_t i = 0; i < m && k < mc; i++) {
+        if (flag[i]) {
+            if (p[i] != t_chars[k]) transpositions++;
+            k++;
+        }
+    }
+    transpositions /= 2;
+    double dmc = (double)mc;
+    return (dmc / (double)m + dmc / (double)n
+            + (dmc - (double)transpositions) / dmc) / 3.0;
+}
+
+int batch_jaro(const uint32_t *pat, const int64_t *pat_off,
+               const uint32_t *txt, const int64_t *txt_off,
+               int64_t n_pairs, double *out) {
+    int64_t mmax = 1, nmax = 1;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        if (m > mmax) mmax = m;
+        if (n > nmax) nmax = n;
+    }
+    int64_t mn = mmax < nmax ? mmax : nmax;
+    int32_t *count = (int32_t *)malloc((size_t)mmax * sizeof(int32_t));
+    int32_t *start = (int32_t *)malloc((size_t)mmax * sizeof(int32_t));
+    int32_t *ptr = (int32_t *)malloc((size_t)mmax * sizeof(int32_t));
+    int32_t *positions = (int32_t *)malloc((size_t)mmax * sizeof(int32_t));
+    int32_t *match_pos = (int32_t *)malloc((size_t)(mn + 1) * sizeof(int32_t));
+    uint32_t *t_chars = (uint32_t *)malloc((size_t)(mn + 1) * sizeof(uint32_t));
+    unsigned char *flag = (unsigned char *)malloc((size_t)mmax);
+    int rc = 0;
+    if (!count || !start || !ptr || !positions || !match_pos || !t_chars
+        || !flag) rc = -1;
+    if (!rc) {
+        for (int64_t i = 0; i < n_pairs; i++) {
+            double s = jaro_one(pat + pat_off[i],
+                                pat_off[i + 1] - pat_off[i],
+                                txt + txt_off[i],
+                                txt_off[i + 1] - txt_off[i],
+                                count, start, ptr, positions,
+                                match_pos, t_chars, flag);
+            if (s < 0.0) { rc = -1; break; }
+            out[i] = s;
+        }
+    }
+    free(count); free(start); free(ptr); free(positions);
+    free(match_pos); free(t_chars); free(flag);
+    return rc;
+}
+
+/* ------------- Damerau-Levenshtein (Lowrance-Wagner) ---------------- */
+/* Unrestricted adjacent transpositions; parity with
+ * src/distance/damerau_levenshtein.rs:111-168. Full (m+2)x(n+2) matrix
+ * — callers strip common affixes first and cap the cell count. */
+
+int batch_damerau(const uint32_t *pat, const int64_t *pat_off,
+                  const uint32_t *txt, const int64_t *txt_off,
+                  int64_t n_pairs, int64_t *out, int64_t max_cells) {
+    int64_t cap_rows = 0, cap_cells = 0;
+    int32_t *d = NULL;
+    /* last-occurrence map per pattern: reuse CharMap machinery inline */
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const uint32_t *a = pat + pat_off[i];
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        const uint32_t *b = txt + txt_off[i];
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        if (m == 0) { out[i] = n; continue; }
+        if (n == 0) { out[i] = m; continue; }
+        int64_t cells = (m + 2) * (n + 2);
+        if (cells > max_cells) { out[i] = -1; continue; }  /* caller falls back */
+        if (cells > cap_cells) {
+            free(d);
+            d = (int32_t *)malloc((size_t)cells * sizeof(int32_t));
+            if (!d) return -1;
+            cap_cells = cells;
+        }
+        (void)cap_rows;
+        int64_t W = n + 2;
+        int32_t maxdist = (int32_t)(m + n);
+        d[0 * W + 0] = maxdist;
+        for (int64_t x = 0; x <= m; x++) {
+            d[(x + 1) * W + 0] = maxdist;
+            d[(x + 1) * W + 1] = (int32_t)x;
+        }
+        for (int64_t y = 0; y <= n; y++) {
+            d[0 * W + (y + 1)] = maxdist;
+            d[1 * W + (y + 1)] = (int32_t)y;
+        }
+        /* da: char -> last row; small open-addressing map */
+        uint32_t cap = 16;
+        while (cap < (uint32_t)(2 * m)) cap <<= 1;
+        uint32_t *keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+        int32_t *vals = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+        if (!keys || !vals) { free(keys); free(vals); free(d); return -1; }
+        memset(keys, 0xFF, (size_t)cap * sizeof(uint32_t));
+        for (int64_t x = 1; x <= m; x++) {
+            int32_t db = 0;
+            uint32_t c1 = a[x - 1];
+            for (int64_t y = 1; y <= n; y++) {
+                uint32_t c2 = b[y - 1];
+                int32_t kk = 0;   /* da.get(c2, 0) */
+                {
+                    uint32_t slot = hash32(c2) & (cap - 1);
+                    while (1) {
+                        uint32_t key = keys[slot];
+                        if (key == c2) { kk = vals[slot]; break; }
+                        if (key == EMPTY_KEY) break;
+                        slot = (slot + 1) & (cap - 1);
+                    }
+                }
+                int32_t l = db;
+                int32_t cost = 1;
+                if (c1 == c2) { cost = 0; db = (int32_t)y; }
+                int32_t v = d[x * W + y] + cost;
+                int32_t v2 = d[(x + 1) * W + y] + 1;
+                if (v2 < v) v = v2;
+                int32_t v3 = d[x * W + (y + 1)] + 1;
+                if (v3 < v) v = v3;
+                int32_t v4 = d[kk * W + l]
+                    + (int32_t)(x - kk - 1) + 1 + (int32_t)(y - l - 1);
+                if (v4 < v) v = v4;
+                d[(x + 1) * W + (y + 1)] = v;
+            }
+            /* da[c1] = x */
+            uint32_t slot = hash32(c1) & (cap - 1);
+            while (keys[slot] != EMPTY_KEY && keys[slot] != c1)
+                slot = (slot + 1) & (cap - 1);
+            keys[slot] = c1; vals[slot] = (int32_t)x;
+        }
+        out[i] = d[(m + 1) * W + (n + 1)];
+        free(keys); free(vals);
+    }
+    free(d);
+    return 0;
+}

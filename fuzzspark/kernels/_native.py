@@ -76,8 +76,27 @@ def get_lib():
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
+        lib.batch_jaro.restype = ctypes.c_int
+        lib.batch_jaro.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ]
+        lib.batch_damerau.restype = ctypes.c_int
+        lib.batch_damerau.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
         _LIB = lib
-    except OSError:
+    except (OSError, AttributeError):
         _LIB = None
     return _LIB
 
@@ -108,3 +127,33 @@ def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str]
     if rc != 0:  # pragma: no cover (allocation failure)
         return None
     return out
+
+
+def native_jaro(pat_strs: list[str], txt_strs: list[str]) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not pat_strs:
+        return np.zeros(0, dtype=np.float64)
+    pat, pat_off = _flatten(pat_strs)
+    txt, txt_off = _flatten(txt_strs)
+    out = np.empty(len(pat_strs), dtype=np.float64)
+    rc = lib.batch_jaro(pat, pat_off, txt, txt_off, len(pat_strs), out)
+    return out if rc == 0 else None
+
+
+def native_damerau(pat_strs: list[str], txt_strs: list[str],
+                   max_cells: int = 1 << 24) -> np.ndarray | None:
+    """-1 entries mark pairs whose DP matrix exceeds max_cells (caller
+    falls back to the python DP for those)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not pat_strs:
+        return np.zeros(0, dtype=np.int64)
+    pat, pat_off = _flatten(pat_strs)
+    txt, txt_off = _flatten(txt_strs)
+    out = np.empty(len(pat_strs), dtype=np.int64)
+    rc = lib.batch_damerau(pat, pat_off, txt, txt_off, len(pat_strs),
+                           out, max_cells)
+    return out if rc == 0 else None

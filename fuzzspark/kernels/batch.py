@@ -183,8 +183,17 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
         raw[idx] = _bitpar_family_distances("osa", stripped)
     elif scorer == "damerau_levenshtein":
-        for k in idx:
-            raw[k] = damerau_distance_raw(s1[k], s2[k])
+        stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
+        got = _native.native_damerau([a for a, _ in stripped],
+                                     [b for _, b in stripped])
+        if got is not None:
+            raw[idx] = got
+            for pos, k in enumerate(idx):  # oversized DP fell back
+                if got[pos] < 0:
+                    raw[k] = damerau_distance_raw(s1[k], s2[k])
+        else:
+            for k in idx:
+                raw[k] = damerau_distance_raw(s1[k], s2[k])
     elif scorer == "hamming":
         bad = []
         for k in idx:
@@ -197,12 +206,30 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         if bad:
             valid = valid.copy()
             valid[bad] = False
-    elif scorer == "jaro":
-        for k in idx:
-            raw[k] = jaro_similarity_raw(s1[k], s2[k])
-    elif scorer == "jaro_winkler":
-        for k in idx:
-            raw[k] = jaro_winkler_similarity_raw(s1[k], s2[k], prefix_weight)
+    elif scorer in ("jaro", "jaro_winkler"):
+        a = [s1[k] for k in idx]
+        b = [s2[k] for k in idx]
+        got = _native.native_jaro(a, b)
+        if got is None:
+            fn = (jaro_similarity_raw if scorer == "jaro"
+                  else lambda x, y: jaro_winkler_similarity_raw(
+                      x, y, prefix_weight))
+            for k in idx:
+                raw[k] = fn(s1[k], s2[k])
+        else:
+            if scorer == "jaro_winkler":
+                # prefix boost (src/distance/jaro_winkler.rs:64-101)
+                for pos in range(len(idx)):
+                    sim = got[pos]
+                    if sim > 0.7:
+                        x, y = a[pos], b[pos]
+                        pfx = 0
+                        for c1, c2 in zip(x[:4], y[:4]):
+                            if c1 != c2:
+                                break
+                            pfx += 1
+                        got[pos] = sim + pfx * prefix_weight * (1.0 - sim)
+            raw[idx] = got
     elif scorer == "prefix":
         # canonical raw = distance = max(len) - common_prefix
         for k in idx:
