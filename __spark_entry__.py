@@ -14,8 +14,12 @@ comparison is stable across engines.
 
 from __future__ import annotations
 
+import os
+import sys
 import tempfile
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +28,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver owns the SparkSession; make fuzzspark importable on its
+    # python workers regardless of cwd (idempotent addPyFile)
+    from fuzzspark.session import _ship_package
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
