@@ -299,6 +299,25 @@ def q_linkage_clusters(spark, sf_dir):
     return out["clusters"].orderBy("id")
 
 
+def q_token_set_ratio(spark, sf_dir):
+    p = _doc_pairs(spark, sf_dir, mod=17)
+    return _scored(p, "token_set_ratio", "normalized_similarity", "tsr") \
+        .select("left_id", "right_id", "tsr")
+
+
+def q_token_sort_ratio(spark, sf_dir):
+    p = _doc_pairs(spark, sf_dir, mod=17)
+    return _scored(p, "token_sort_ratio", "normalized_similarity", "tsor") \
+        .select("left_id", "right_id", "tsor")
+
+
+def q_partial_ratio(spark, sf_dir):
+    # partial_ratio is O(len * window-scan); sample tighter
+    p = _doc_pairs(spark, sf_dir, mod=97)
+    return _scored(p, "partial_ratio", "normalized_similarity", "pr") \
+        .select("left_id", "right_id", "pr")
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash over whitespace tokens (rows-only: bit ops over
     md5 halves; deterministic — pinned by unit tests)."""
@@ -324,6 +343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "indel": q_indel,
         "lcs_seq": q_lcs_seq,
         "osa": q_osa,
+        "token_set_ratio": q_token_set_ratio,
+        "token_sort_ratio": q_token_sort_ratio,
+        "partial_ratio": q_partial_ratio,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,

@@ -25,10 +25,21 @@ KIND_LEV = 1
 KIND_OSA = 2
 
 
-def _compile() -> str | None:
+def _read_source() -> bytes | None:
     try:
-        src = open(_SRC, "rb").read()
+        return open(_SRC, "rb").read()
     except OSError:
+        pass
+    try:  # imported from the shipped zip: read via the package loader
+        import importlib.resources as ir
+        return (ir.files(__package__) / "_native.c").read_bytes()
+    except Exception:
+        return None
+
+
+def _compile() -> str | None:
+    src = _read_source()
+    if src is None:
         return None
     tag = hashlib.sha256(src).hexdigest()[:16]
     cache = os.path.join(tempfile.gettempdir(), "fuzzspark_native")
@@ -36,8 +47,14 @@ def _compile() -> str | None:
     so = os.path.join(cache, f"kernels_{tag}.so")
     if os.path.exists(so):
         return so
+    csrc = os.path.join(cache, f"kernels_{tag}.c")
+    if not os.path.exists(csrc):
+        ctmp = f"{csrc}.{os.getpid()}.tmp"
+        with open(ctmp, "wb") as f:
+            f.write(src)
+        os.replace(ctmp, csrc)
     tmp = f"{so}.{os.getpid()}.tmp"
-    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC]
+    cmd = ["gcc", "-O3", "-shared", "-fPIC", "-o", tmp, csrc]
     try:
         r = subprocess.run(cmd, capture_output=True, timeout=120)
         if r.returncode != 0:

@@ -36,10 +36,11 @@ def _hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
-                      shingle: int = 5, max_chars: int = 2000,
-                      seed: int = 1729):
-    """pandas UDF: content -> array<long> of b band keys.
+def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
+                         shingle: int = 5, max_chars: int = 2000,
+                         seed: int = 1729):
+    """Plain-python MinHash band-key computation (no Spark dependency;
+    the UDF below wraps it).
 
     MinHash over character shingles of the first ``max_chars`` chars
     (content prefix shingles per BASELINE.json north_star).  Band key =
@@ -48,9 +49,11 @@ def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
     """
     n_hashes = n_bands * rows_per_band
     A, B = _hash_family(n_hashes, seed)
+    Au = A.astype(np.uint64)[:, None]
+    Bu = B.astype(np.uint64)[:, None]
+    band_off = np.arange(n_bands, dtype=np.int64) << np.int64(56)
 
-    @pandas_udf("array<long>")
-    def _udf(content: pd.Series) -> pd.Series:
+    def compute(content) -> list:
         out = []
         for text in content:
             if text is None:
@@ -74,17 +77,30 @@ def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
                 shingles = np.unique(h).astype(np.int64) & 0x7FFFFFFFFFFFFFFF
             # minhash: (a*x + b) mod p, min over shingles, per hash fn
             x = shingles.astype(np.uint64)[None, :]
-            vals = (A.astype(np.uint64)[:, None] * x
-                    + B.astype(np.uint64)[:, None]) % np.uint64(_MERSENNE)
+            vals = (Au * x + Bu) % np.uint64(_MERSENNE)
             sig = vals.min(axis=1)  # (n_hashes,)
             bands = sig.reshape(n_bands, rows_per_band)
             keys = np.zeros(n_bands, dtype=np.uint64)
             for r in range(rows_per_band):
                 keys = keys * np.uint64(0x9E3779B97F4A7C15) + bands[:, r]
             keys = (keys >> np.uint64(1)).astype(np.int64)  # keep positive
-            keys += np.arange(n_bands, dtype=np.int64) << np.int64(56)
+            keys += band_off
             out.append(keys.tolist())
-        return pd.Series(out)
+        return out
+
+    return compute
+
+
+def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
+                      shingle: int = 5, max_chars: int = 2000,
+                      seed: int = 1729):
+    """pandas UDF: content -> array<long> of band keys."""
+    compute = make_minhash_compute(n_bands, rows_per_band, shingle,
+                                   max_chars, seed)
+
+    @pandas_udf("array<long>")
+    def _udf(content: pd.Series) -> pd.Series:
+        return pd.Series(compute(content), index=content.index)
 
     return _udf
 
@@ -141,8 +157,6 @@ def defuse_skew(blocks: DataFrame, files_len: DataFrame,
         "block_key")
     small = counted.where(F.col("_bsize") <= max_block).select("id", "block_key")
     big = counted.where(F.col("_bsize") > max_block).join(files_len, "id")
-    if big.isEmpty():
-        return small
     from pyspark.sql import Window
     w = Window.partitionBy("block_key").orderBy("content_len", "id")
     ranked = big.withColumn("_rank", F.row_number().over(w) - 1)

@@ -78,14 +78,16 @@ class StageRunner:
             df = df.repartition(repartition)
         df.write.mode("overwrite").parquet(out_dir)
         persisted = self.spark.read.parquet(out_dir)
+        # one pass: per-partition rows; total derived from the sum
         part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
                        .count().collect())
+        partition_rows = {int(r["pid"]): int(r["count"]) for r in part_counts}
         manifest = {
             "stage": stage,
             "params_hash": params_hash(self.params),
-            "row_count": int(persisted.count()),
+            "row_count": int(sum(partition_rows.values())),
             "schema": persisted.schema.jsonValue(),
-            "partition_rows": {int(r["pid"]): int(r["count"]) for r in part_counts},
+            "partition_rows": partition_rows,
             "elapsed_sec": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "complete": True,

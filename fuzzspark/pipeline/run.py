@@ -50,6 +50,19 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     cfg = config or LinkageConfig()
     runner = StageRunner(spark, workdir, params=cfg.as_dict())
 
+    def widen(df: DataFrame) -> DataFrame:
+        """Guarantee a UDF-heavy stage gets enough tasks even when its
+        input is a small persisted stage (single parquet split).  Width
+        is tunable via spark conf ``fuzzspark.python.parallelism``
+        (single-box local mode saturates memory bandwidth well below
+        the vCPU count — see BENCH_SCALING.md)."""
+        default = spark.sparkContext.defaultParallelism
+        target = int(spark.conf.get("fuzzspark.python.parallelism",
+                                    str(default)))
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+
     files_ck = runner.run(
         "01_files",
         lambda: files.withColumn("content_sha256", sha256_column("content"))
@@ -80,7 +93,7 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                                 cutoff=cfg.threshold))
 
     def _score():
-        scored = pairs.withColumn(
+        scored = widen(pairs).withColumn(
             "score",
             F.when(F.col("exact_equal"), F.lit(1.0)).otherwise(
                 scorer_column(cfg.scorer, "s1", "s2",

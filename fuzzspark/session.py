@@ -32,6 +32,11 @@ def get_spark(app_name: str = "fuzzspark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(ARROW_MAX_RECORDS_PER_BATCH))
+        # UDF-heavy scans need tasks >> cores; the 128MB default
+        # bin-packs small stage outputs into single tasks and silently
+        # serializes the python scorers (see BENCH_SCALING.md)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "2m")
         .config("spark.driver.memory", os.environ.get("FUZZSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
@@ -56,7 +61,9 @@ def package_zip(dest_dir: str | None = None) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in fnames:
-                if fn.endswith(".py"):
+                # ship the C kernel source too — workers compile it
+                # once per machine into the shared cache
+                if fn.endswith((".py", ".c")):
                     full = os.path.join(dirpath, fn)
                     zf.write(full, os.path.relpath(full, root))
     return dest
@@ -72,5 +79,13 @@ def _ship_package(spark: SparkSession) -> None:
     try:
         sc.addPyFile(package_zip())
     except Exception:  # already added under this name
+        pass
+    # pre-compile the native kernels on the driver so local-mode python
+    # workers hit the warm cache immediately (cluster executors compile
+    # once per machine via the same atomic cache path)
+    try:
+        from fuzzspark.kernels import _native
+        _native._compile()
+    except Exception:
         pass
     sc._fuzzspark_shipped = True
