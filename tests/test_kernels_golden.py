@@ -303,3 +303,30 @@ def test_jw_golden_matrix():
 def test_jw_prefix_boost():
     # jw("aaaaaaaa","aabaaab") = 0.82381 (src/distance/jaro_winkler.rs:790-791)
     assert jaro_winkler.similarity("aaaaaaaa", "aabaaab") == approx(0.82381)
+
+
+# ---------------------------------------------------------- large inputs
+OCR_PATH = "/root/reference/src/distance/example/ocr.rs"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(OCR_PATH),
+                    reason="reference OCR fixture not present")
+def test_levenshtein_large_band_ocr():
+    """Large-input sanity point (src/distance/levenshtein.rs:2140-2162):
+    distance between the 106,514- and 107,244-element OCR sequences is
+    5,278; cutoff 2500 suppresses it.  Sequences parsed from the
+    reference's test-data file and mapped byte -> code point."""
+    import re
+    src = open(OCR_PATH).read()
+    arrays = []
+    for m in re.finditer(r"\[u8; \d+\] = \[(.*?)\];", src, re.S):
+        arrays.append("".join(chr(int(x)) for x in
+                              re.findall(r"\d+", m.group(1))))
+    assert len(arrays) == 2
+    s1, s2 = arrays
+    assert (len(s1), len(s2)) == (106514, 107244)
+    assert levenshtein.distance(s1, s2) == 5278
+    assert levenshtein.distance(s1, s2, score_cutoff=2500) is None
+    # indel/LCS large-input consistency: dist parity bound
+    ind = indel.distance(s1, s2)
+    assert ind >= 5278 and ind <= 2 * 5278
