@@ -64,10 +64,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     prev_fp = None
     for _ in range(max_iter):
         # both stars operate on the symmetrized neighborhood view; the
-        # output of small-star is directed, so re-symmetrize each round
+        # output of small-star is directed, so re-symmetrize each round.
+        # duplicates don't change the min-aggregations, so no distinct
+        # before large-star; the lazy checkpoint is materialized by the
+        # fingerprint aggregation (one job per round).
         e2 = _small_star(
-            _symmetrize(_large_star(_symmetrize(e).distinct()))
-        ).localCheckpoint()
+            _symmetrize(_large_star(_symmetrize(e)))
+        ).localCheckpoint(eager=False)
         fp = _fingerprint(e2)
         e = e2
         if fp == prev_fp:
