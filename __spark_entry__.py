@@ -299,6 +299,27 @@ def q_linkage_clusters(spark, sf_dir):
     return out["clusters"].orderBy("id")
 
 
+_LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "code": ["def", "return", "if", "else", "for", "while", "import",
+             "class", "fn", "let", "void", "int"],
+}
+
+
+def q_langid_hits(spark, sf_dir):
+    """Stopword-profile hit counts per language (the signal under the
+    langid heuristic) — Catalyst-native and exactly SQL-expressible."""
+    d = _t(spark, sf_dir, "documents")
+    cols = [F.col("doc_id")]
+    for lang, words in _LANG_PROFILES.items():
+        arr = ", ".join(f"'{w}'" for w in words)
+        cols.append(F.expr(
+            f"size(filter(split(lower(text), ' '), "
+            f"t -> array_contains(array({arr}), t)))").alias(f"{lang}_hits"))
+    return d.select(*cols)
+
+
 def q_token_set_ratio(spark, sf_dir):
     p = _doc_pairs(spark, sf_dir, mod=17)
     return _scored(p, "token_set_ratio", "normalized_similarity", "tsr") \
@@ -349,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
+        "langid_hits": q_langid_hits,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_candidates": q_minhash_candidates,
@@ -451,6 +473,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE "
             "/ length(text), 6) AS space_ratio "
             "FROM documents WHERE length(trim(text)) > 0",
+        "langid_hits":
+            "SELECT doc_id, "
+            + ", ".join(
+                "CAST(len(list_filter(string_split(lower(text), ' '), "
+                f"t -> list_contains([{', '.join(chr(39) + w + chr(39) for w in words)}], t))) AS INT) "
+                f"AS {lang}_hits"
+                for lang, words in _LANG_PROFILES.items()
+            ) + " FROM documents",
         "fingerprint":
             "SELECT doc_id, CAST(list_sum([k * ascii(substr(text, k, 1)) "
             "FOR k IN range(1, least(length(text), 200) + 1)]) % 1000000007 "
