@@ -18,6 +18,7 @@ grows by commits):
 
 from .ops import (  # noqa: F401
     streaming_exact_dedup,
+    streaming_stateful_dedup,
     streaming_fuzzy_match,
     streaming_ingest_linkage,
 )

@@ -105,3 +105,59 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
         stream, reference, scorer=scorer, threshold=threshold,
         sink_dir=os.path.join(workdir, "edges"),
         checkpoint_dir=os.path.join(workdir, "_checkpoint"))
+
+
+def streaming_stateful_dedup(stream: DataFrame, *, content_col: str = "content",
+                             id_col: str = "id",
+                             timeout_minutes: int = 0):
+    """Cross-batch exact dedup with explicit keyed state
+    (``applyInPandasWithState``): the first row for each content hash is
+    emitted, later arrivals are dropped FOREVER (not just within a
+    watermark window — the state outlives micro-batches).
+
+    State key = first 4 hex chars of sha256 (bounded key cardinality,
+    each group holds the set of full hashes it has seen).  At 100 TB the
+    per-group state is the knob: more key chars = smaller groups.
+    Returns a DataFrame to be written with ``update`` output mode.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField("id", LongType()),
+        StructField("content_sha256", StringType()),
+    ])
+    state_schema = StructType([StructField("seen", StringType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        seen = set()
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                seen = set(blob.split(","))
+        out_ids, out_hashes = [], []
+        for pdf in pdf_iter:
+            for rid, content in zip(pdf[id_col], pdf[content_col]):
+                h = hashlib.sha256(
+                    (content or "").encode()).hexdigest()
+                if h not in seen:
+                    seen.add(h)
+                    out_ids.append(rid)
+                    out_hashes.append(h)
+        state.update((",".join(sorted(seen)),))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame({"id": out_ids, "content_sha256": out_hashes})
+
+    keyed = stream.withColumn(
+        "_k", F.substring(sha256_column(content_col), 1, 4))
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes
+               else GroupStateTimeout.NoTimeout)
+    return keyed.groupBy("_k").applyInPandasWithState(
+        dedup_fn, outputStructType=out_schema,
+        stateStructType=state_schema, outputMode="update",
+        timeoutConf=timeout)

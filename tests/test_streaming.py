@@ -87,3 +87,45 @@ def test_streaming_restart_is_incremental(spark, tmp_path):
     run()  # same checkpoint: no new input -> no new edges
     n2 = spark.read.parquet(sink).count() if os.path.exists(sink) else 0
     assert n2 == n1
+
+
+def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: duplicates are dropped across micro-batches
+    (state outlives the batch), and the state survives a checkpointed
+    restart with new input files."""
+    from fuzzspark.streaming import streaming_stateful_dedup
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    schema = "id: long, content: string"
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            spark.createDataFrame([], schema).schema).parquet(src)
+        dedup = streaming_stateful_dedup(stream)
+
+        def write_batch(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                batch_df.write.mode("append").parquet(sink)
+
+        q = (dedup.writeStream.foreachBatch(write_batch)
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema) \
+        .write.mode("append").parquet(src)
+    run_once()
+    out1 = spark.read.parquet(sink).collect()
+    assert sorted(r["id"] for r in out1) == [1, 2]  # 3 is a dup of 1
+
+    # restart with a new file: 'alpha' and 'beta' must STILL be dups —
+    # the keyed state was recovered from the checkpoint
+    spark.createDataFrame([(4, "alpha"), (5, "gamma"), (6, "beta")], schema) \
+        .write.mode("append").parquet(src)
+    run_once()
+    out2 = spark.read.parquet(sink).collect()
+    assert sorted(r["id"] for r in out2) == [1, 2, 5]
