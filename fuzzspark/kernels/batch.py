@@ -264,6 +264,46 @@ _SIM_CANONICAL = {"jaro", "jaro_winkler", "ratio", "partial_ratio",
                   "token_sort_ratio", "token_set_ratio"}
 
 
+def _length_hopeless(scorer, form, s1, s2, cutoff, weights) -> np.ndarray:
+    """True where string lengths alone prove the cutoff cannot be met.
+    Conservative (never prunes a passing pair); False where unsure."""
+    n = len(s1)
+    l1 = np.array([len(a) if a is not None else 0 for a in s1], dtype=np.float64)
+    l2 = np.array([len(b) if b is not None else 0 for b in s2], dtype=np.float64)
+    lo = np.minimum(l1, l2)
+    hi = np.maximum(l1, l2)
+    both_empty = (l1 + l2) == 0
+    out = np.zeros(n, dtype=bool)
+    if form == "normalized_similarity":
+        if scorer in ("ratio", "indel"):
+            with np.errstate(invalid="ignore", divide="ignore"):
+                bound = np.where(both_empty, 1.0, 2.0 * lo /
+                                 np.maximum(l1 + l2, 1.0))
+        elif scorer == "jaro":
+            bound = np.where(both_empty, 1.0,
+                             np.where(lo == 0, 0.0, (lo / np.maximum(hi, 1.0) + 2.0) / 3.0))
+        elif scorer == "jaro_winkler":
+            jb = np.where(both_empty, 1.0,
+                          np.where(lo == 0, 0.0, (lo / np.maximum(hi, 1.0) + 2.0) / 3.0))
+            bound = jb + 0.4 * (1.0 - jb)
+        elif scorer in ("levenshtein", "osa", "damerau_levenshtein",
+                        "lcs_seq", "prefix", "postfix"):
+            if scorer == "levenshtein" and weights is not None \
+                    and tuple(weights) != (1, 1, 1):
+                return out
+            bound = np.where(both_empty, 1.0, lo / np.maximum(hi, 1.0))
+        else:
+            return out
+        out = bound < cutoff
+    elif form == "distance" and scorer in (
+            "levenshtein", "osa", "damerau_levenshtein"):
+        if scorer == "levenshtein" and weights is not None \
+                and tuple(weights) != (1, 1, 1):
+            return out
+        out = (hi - lo) > cutoff
+    return out
+
+
 def _maximum_arr(scorer: str, s1, s2, idx, weights=None) -> np.ndarray:
     l1 = np.array([len(s1[k]) for k in idx], dtype=np.float64)
     l2 = np.array([len(s2[k]) for k in idx], dtype=np.float64)
@@ -288,6 +328,14 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     s2 = _clean(s2_arr)
     n = len(s1)
     valid = np.array([a is not None and b is not None for a, b in zip(s1, s2)])
+    if score_cutoff is not None:
+        # kernel-level analog of the reference's length-difference prune
+        # (src/distance/levenshtein.rs:1045-1047, jaro length_filter
+        # :122-131): pairs that cannot satisfy the cutoff never reach
+        # the kernel.  Their output is suppressed (NaN) either way, so
+        # this is exactly result-preserving.
+        valid = valid & ~_length_hopeless(scorer, form, s1, s2, score_cutoff,
+                                          weights)
     raw, valid = _raw_batch(scorer, s1, s2, valid, weights=weights, pad=pad,
                             prefix_weight=prefix_weight, errors=errors)
     out = np.full(n, np.nan)

@@ -93,11 +93,16 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                                 cutoff=cfg.threshold))
 
     def _score():
+        # cutoff pushed into the kernel: length-hopeless pairs never
+        # reach the scorer and sub-threshold scores come back NULL
+        # (identical to the post-hoc WHERE, per reference cutoff
+        # semantics src/common.rs:73-86)
         scored = widen(pairs).withColumn(
             "score",
             F.when(F.col("exact_equal"), F.lit(1.0)).otherwise(
                 scorer_column(cfg.scorer, "s1", "s2",
-                              "normalized_similarity")))
+                              "normalized_similarity",
+                              score_cutoff=cfg.threshold)))
         return scored.select("left_id", "right_id", "len1", "len2",
                              "exact_equal", "score")
 
