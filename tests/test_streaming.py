@@ -116,11 +116,16 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
              .trigger(availableNow=True).start())
         q.awaitTermination(300)
 
+    # within a batch, WHICH duplicate survives depends on arrival order
+    # (any one representative is correct dedup semantics) — assert one
+    # row per distinct content, not specific ids
     spark.createDataFrame([(1, "alpha"), (2, "beta"), (3, "alpha")], schema) \
         .write.mode("append").parquet(src)
     run_once()
     out1 = spark.read.parquet(sink).collect()
-    assert sorted(r["id"] for r in out1) == [1, 2]  # 3 is a dup of 1
+    assert len(out1) == 2
+    assert len({r["content_sha256"] for r in out1}) == 2
+    assert {r["id"] for r in out1} <= {1, 2, 3}
 
     # restart with a new file: 'alpha' and 'beta' must STILL be dups —
     # the keyed state was recovered from the checkpoint
@@ -128,4 +133,6 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
         .write.mode("append").parquet(src)
     run_once()
     out2 = spark.read.parquet(sink).collect()
-    assert sorted(r["id"] for r in out2) == [1, 2, 5]
+    assert len(out2) == 3
+    new_rows = [r for r in out2 if r["id"] >= 4]
+    assert [r["id"] for r in new_rows] == [5]  # only 'gamma' is new
