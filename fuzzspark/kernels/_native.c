@@ -245,8 +245,10 @@ int batch_metric(int kind,
         if (m == 0) { out[i] = (kind == 0) ? 0 : n; continue; }
         if (n == 0) { out[i] = (kind == 0) ? 0 : m; continue; }
         /* BatchComparator analog: reuse masks when consecutive pairs
-         * share the same pattern pointer+length (caller sorts). */
-        if (!(have_pm && p == last_pat && m == last_m)) {
+         * share the same pattern content (caller sorts by pattern). */
+        if (!(have_pm && m == last_m
+              && (p == last_pat
+                  || memcmp(p, last_pat, (size_t)m * sizeof(uint32_t)) == 0))) {
             if (have_pm) pm_free(&pm);
             if (pm_build(&pm, p, m, (m + 63) >> 6) != 0) { rc = -1; break; }
             have_pm = 1; last_pat = p; last_m = m;

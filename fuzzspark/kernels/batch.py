@@ -90,12 +90,18 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
     native = _native.get_lib() is not None
     if native and pairs:
         # all three metrics are symmetric; the shorter side as pattern
-        # minimizes the word count
+        # minimizes the word count.  Sort by pattern so the C kernel's
+        # consecutive-pattern mask reuse (BatchComparator analog) fires.
         pat = [a if len(a) <= len(b) else b for a, b in pairs]
         txt = [b if len(a) <= len(b) else a for a, b in pairs]
-        got = _native.native_batch(_NATIVE_KIND[kind], pat, txt)
+        order = sorted(range(len(pairs)), key=pat.__getitem__)
+        got = _native.native_batch(_NATIVE_KIND[kind],
+                                   [pat[k] for k in order],
+                                   [txt[k] for k in order])
         if got is not None:
-            return got
+            out = np.empty(len(pairs), dtype=np.int64)
+            out[order] = got
+            return out
     scalar_core, np_core = _BITPAR_CORES[kind]
     n = len(pairs)
     out = np.zeros(n, dtype=np.int64)
