@@ -81,7 +81,7 @@ def scorer_column(scorer: str, s1: Column | str, s2: Column | str,
 
 
 def length_prefilter(len1: Column, len2: Column, scorer: str,
-                     cutoff: float) -> Column:
+                     cutoff: float, *, prefix_weight: float = 0.1) -> Column:
     """Catalyst-native pruning predicate: TRUE iff the pair can still
     reach ``normalized_similarity >= cutoff`` based on lengths alone.
 
@@ -108,7 +108,12 @@ def length_prefilter(len1: Column, len2: Column, scorer: str,
                .when(lo == 0, F.lit(0.0))
                .otherwise((lo / hi + 2.0) / 3.0))
         if scorer == "jaro_winkler":
-            bound = jb + 0.4 * (1.0 - jb)
+            # boost (<= 4 chars * prefix_weight) only fires when the true
+            # jaro sim > 0.7; must scale with the caller's prefix_weight
+            # (the reference imposes no cap on the weight)
+            bound = F.when(jb > 0.7,
+                           jb + 4.0 * float(prefix_weight) * (1.0 - jb)) \
+                     .otherwise(jb)
         else:
             bound = jb
     else:

@@ -77,12 +77,13 @@ def _build_mask_table(distinct: list[str], w: int):
     keys = (gid << np.uint64(_CHAR_BITS)) | codes
     words = (pos >> np.uint64(6)).astype(np.int64)
     bits = _U1 << (pos & np.uint64(63))
-    # group by (key, word), OR the bits (word < 2^10, key uses low 21+gid)
-    combo = (keys << np.uint64(10)) | words.astype(np.uint64)
-    order = np.argsort(combo, kind="stable")
-    keys, words, bits, combo = keys[order], words[order], bits[order], combo[order]
+    # group by (key, word), OR the bits.  lexsort — NOT a packed scalar:
+    # packing the word index into fixed low bits aliases (key, word)
+    # groups for patterns past the bit budget (regression: 2^16 chars).
+    order = np.lexsort((words, keys))
+    keys, words, bits = keys[order], words[order], bits[order]
     boundary = np.ones(len(keys), dtype=bool)
-    boundary[1:] = combo[1:] != combo[:-1]
+    boundary[1:] = (keys[1:] != keys[:-1]) | (words[1:] != words[:-1])
     starts = np.flatnonzero(boundary)
     merged = np.bitwise_or.reduceat(bits, starts) if len(starts) else bits[:0]
     gkeys, gwords = keys[starts], words[starts]

@@ -139,7 +139,9 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
             last = None
             for k in order:
                 a, b = long_pairs[k]
-                if a is not last:
+                # value compare: the list is sorted by content, so equal
+                # strings are adjacent even when they are distinct objects
+                if a != last:
                     masks = pattern_masks(a)
                     last = a
                 out[long_idx[k]] = scalar_core(a, b, masks)
@@ -270,7 +272,8 @@ _SIM_CANONICAL = {"jaro", "jaro_winkler", "ratio", "partial_ratio",
                   "token_sort_ratio", "token_set_ratio"}
 
 
-def _length_hopeless(scorer, form, s1, s2, cutoff, weights) -> np.ndarray:
+def _length_hopeless(scorer, form, s1, s2, cutoff, weights,
+                     prefix_weight=0.1) -> np.ndarray:
     """True where string lengths alone prove the cutoff cannot be met.
     Conservative (never prunes a passing pair); False where unsure."""
     n = len(s1)
@@ -291,7 +294,12 @@ def _length_hopeless(scorer, form, s1, s2, cutoff, weights) -> np.ndarray:
         elif scorer == "jaro_winkler":
             jb = np.where(both_empty, 1.0,
                           np.where(lo == 0, 0.0, (lo / np.maximum(hi, 1.0) + 2.0) / 3.0))
-            bound = jb + 0.4 * (1.0 - jb)
+            # prefix boost (<= 4 chars * prefix_weight, applied only when
+            # jaro > 0.7; the reference imposes no cap on the weight —
+            # src/distance/jaro_winkler.rs:64-101), so the bound must
+            # scale with the caller's prefix_weight
+            bound = np.where(jb > 0.7,
+                             jb + 4.0 * prefix_weight * (1.0 - jb), jb)
         elif scorer in ("levenshtein", "osa", "damerau_levenshtein",
                         "lcs_seq", "prefix", "postfix"):
             if scorer == "levenshtein" and weights is not None \
@@ -341,7 +349,7 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
         # the kernel.  Their output is suppressed (NaN) either way, so
         # this is exactly result-preserving.
         valid = valid & ~_length_hopeless(scorer, form, s1, s2, score_cutoff,
-                                          weights)
+                                          weights, prefix_weight=prefix_weight)
     raw, valid = _raw_batch(scorer, s1, s2, valid, weights=weights, pad=pad,
                             prefix_weight=prefix_weight, errors=errors)
     out = np.full(n, np.nan)

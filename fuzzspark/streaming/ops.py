@@ -19,11 +19,15 @@ def streaming_exact_dedup(stream: DataFrame, *, content_col: str = "content",
                           watermark: str = "10 minutes") -> DataFrame:
     """Drop rows whose content hash was already seen within the
     watermark window (exact streaming dedup; state is bounded by the
-    watermark — at 100 TB/day the watermark is the state-size knob)."""
+    watermark — at 100 TB/day the watermark is the state-size knob).
+
+    ``dropDuplicatesWithinWatermark`` is the variant that actually
+    EVICTS state as the watermark advances; plain ``dropDuplicates``
+    on a non-event-time subset never evicts and grows without bound."""
     return (stream
             .withColumn("content_sha256", sha256_column(content_col))
             .withWatermark(ts_col, watermark)
-            .dropDuplicates(["content_sha256"]))
+            .dropDuplicatesWithinWatermark(["content_sha256"]))
 
 
 def _match_batch(reference: DataFrame, scorer: str, threshold: float,
@@ -107,6 +111,36 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
         checkpoint_dir=os.path.join(workdir, "_checkpoint"))
 
 
+def _stateful_dedup_step(key, pdf_iter, state, id_col: str,
+                         timeout_minutes: int):
+    """One keyed-state invocation (key = full content sha256).  Emits the
+    first arrival for an unseen key; writes a CONSTANT-size marker (never
+    the accumulated history); removes state on timeout instead of
+    resurrecting it.  Module-level so tests can drive it with a fake
+    GroupState."""
+    import pandas as pd
+
+    empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                          "content_sha256": pd.Series([], dtype=object)})
+    if state.hasTimedOut:
+        # idle key: drop the marker entirely (do NOT update/re-arm —
+        # that would resurrect the state and defeat eviction)
+        state.remove()
+        return empty
+    first_id = None
+    for pdf in pdf_iter:
+        if first_id is None and len(pdf):
+            first_id = int(pdf[id_col].iloc[0])
+    if state.exists or first_id is None:
+        out = empty
+    else:
+        out = pd.DataFrame({"id": [first_id], "content_sha256": [key[0]]})
+    state.update((True,))  # constant-size marker, O(1) per key
+    if timeout_minutes:
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+    return out
+
+
 def streaming_stateful_dedup(stream: DataFrame, *, content_col: str = "content",
                              id_col: str = "id",
                              timeout_minutes: int = 0):
@@ -115,49 +149,38 @@ def streaming_stateful_dedup(stream: DataFrame, *, content_col: str = "content",
     emitted, later arrivals are dropped FOREVER (not just within a
     watermark window — the state outlives micro-batches).
 
-    State key = first 4 hex chars of sha256 (bounded key cardinality,
-    each group holds the set of full hashes it has seen).  At 100 TB the
-    per-group state is the knob: more key chars = smaller groups.
+    State key = the FULL sha256 of the content, state value = a
+    constant one-byte seen-marker.  Per-batch state writes are O(keys
+    in the batch) and each write is O(1) bytes — the state store (e.g.
+    RocksDB on a real cluster) shards keys across executors, which is
+    the design that survives 100 TB.  (A coarser key whose value
+    accretes every hash ever seen would pay O(total history)
+    serialization per batch — the anti-pattern this replaces.)
+
+    ``timeout_minutes`` > 0 evicts idle keys via ProcessingTimeTimeout:
+    a timed-out key's state is REMOVED (so the same content re-emits if
+    it arrives again later) — the state-size/recall knob at scale.
     Returns a DataFrame to be written with ``update`` output mode.
     """
-    import hashlib
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-    from pyspark.sql.types import (LongType, StringType, StructField,
-                                   StructType)
+    from pyspark.sql.types import (BooleanType, LongType, StringType,
+                                   StructField, StructType)
 
     out_schema = StructType([
         StructField("id", LongType()),
         StructField("content_sha256", StringType()),
     ])
-    state_schema = StructType([StructField("seen", StringType())])
+    state_schema = StructType([StructField("seen", BooleanType())])
 
     def dedup_fn(key, pdf_iter, state: GroupState):
-        seen = set()
-        if state.exists:
-            (blob,) = state.get
-            if blob:
-                seen = set(blob.split(","))
-        out_ids, out_hashes = [], []
-        for pdf in pdf_iter:
-            for rid, content in zip(pdf[id_col], pdf[content_col]):
-                h = hashlib.sha256(
-                    (content or "").encode()).hexdigest()
-                if h not in seen:
-                    seen.add(h)
-                    out_ids.append(rid)
-                    out_hashes.append(h)
-        state.update((",".join(sorted(seen)),))
-        if timeout_minutes:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        yield pd.DataFrame({"id": out_ids, "content_sha256": out_hashes})
+        yield _stateful_dedup_step(key, pdf_iter, state, id_col,
+                                   timeout_minutes)
 
-    keyed = stream.withColumn(
-        "_k", F.substring(sha256_column(content_col), 1, 4))
+    keyed = stream.withColumn("content_sha256", sha256_column(content_col))
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes
                else GroupStateTimeout.NoTimeout)
-    return keyed.groupBy("_k").applyInPandasWithState(
+    return keyed.groupBy("content_sha256").applyInPandasWithState(
         dedup_fn, outputStructType=out_schema,
         stateStructType=state_schema, outputMode="update",
         timeoutConf=timeout)

@@ -1,0 +1,159 @@
+"""Round-2 regression tests for the ADVICE findings.
+
+1. _lcs_blocked_np mask-table aliasing past 2^16-char patterns
+   (packed-scalar sort overflowed the word-index bit budget).
+2. jaro_winkler length-hopeless prune must scale with prefix_weight
+   (the reference imposes no cap — src/distance/jaro_winkler.rs:64-101).
+3. streaming_stateful_dedup state contract: constant-size marker per
+   key (O(batch) writes per micro-batch, not O(corpus)), and timeout
+   expiry REMOVES state instead of resurrecting it.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from fuzzspark.kernels._bitpar import lcs_core
+from fuzzspark.kernels._lcs_blocked_np import lcs_blocked_batch
+from fuzzspark.kernels.batch import batch_scores
+
+
+# ---------------------------------------------------------------------------
+# 1. blocked-LCS word-index bit budget
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pat_len", [65_500, 65_600])
+def test_lcs_blocked_straddles_word_index_budget(pat_len):
+    """patterns straddling 2^16 code points: the (key, word) grouping
+    must not alias (regression: 65,600 returned 33839 vs correct 33848)."""
+    rng = random.Random(13)
+    pat = "".join(rng.choice("abcdef") for _ in range(pat_len))
+    txt = "".join(rng.choice("abcdef") for _ in range(120))
+    got = lcs_blocked_batch([pat], [txt])
+    want = lcs_core(txt, pat)  # big-int core, shorter side as pattern
+    assert got[0] == want
+
+
+def test_lcs_blocked_small_sanity():
+    pats = ["banana", "abcdef", "", "xyzzy"]
+    txts = ["bahama", "fedcba", "abc", "xyzzy plugh"]
+    got = lcs_blocked_batch(pats, txts)
+    want = [lcs_core(p, t) for p, t in zip(pats, txts)]
+    assert list(got) == want
+
+
+# ---------------------------------------------------------------------------
+# 2. jaro_winkler prune with non-default prefix_weight
+# ---------------------------------------------------------------------------
+
+def test_jw_cutoff_with_large_prefix_weight():
+    """jw('abcd','abcdxxxx', prefix_weight=0.25) = 1.0; with cutoff 0.95
+    the kernel-level length prune must NOT suppress it."""
+    out = batch_scores("jaro_winkler", "similarity",
+                       np.array(["abcd"]), np.array(["abcdxxxx"]),
+                       score_cutoff=0.95, prefix_weight=0.25)
+    assert out[0] == pytest.approx(1.0)
+
+
+def test_jw_cutoff_default_weight_still_prunes_consistently():
+    # default weight: score below cutoff -> NaN, above -> kept
+    out = batch_scores("jaro_winkler", "similarity",
+                       np.array(["abcd", "abcd"]),
+                       np.array(["abcdxxxx", "zzzzzzzz"]),
+                       score_cutoff=0.9)
+    assert np.isnan(out[1])
+    # jw = 0.8333 + 4*0.1*(1-0.8333) = 0.9
+    assert out[0] == pytest.approx(0.9, abs=1e-9)
+
+
+def test_length_prefilter_prefix_weight_column(spark):
+    """plan-level prefilter keeps the pair a larger prefix_weight can
+    still save, and prunes it at the default weight."""
+    from pyspark.sql import functions as F
+    from fuzzspark.functions import length_prefilter
+    df = spark.createDataFrame([(4, 8)], "l1: int, l2: int")
+    keep_wide = df.where(length_prefilter(
+        F.col("l1"), F.col("l2"), "jaro_winkler", 0.95,
+        prefix_weight=0.25)).count()
+    keep_default = df.where(length_prefilter(
+        F.col("l1"), F.col("l2"), "jaro_winkler", 0.95)).count()
+    assert keep_wide == 1
+    assert keep_default == 0
+
+
+# ---------------------------------------------------------------------------
+# 3. stateful-dedup state contract
+# ---------------------------------------------------------------------------
+
+class FakeState:
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updates = []
+        self.timeout_set = None
+
+    @property
+    def exists(self):
+        return self._value is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+        self.updates.append(v)
+
+    def remove(self):
+        self.removed = True
+        self._value = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+def _pdfs(rows):
+    import pandas as pd
+    return iter([pd.DataFrame(rows)])
+
+
+def test_stateful_dedup_first_arrival_emits_and_marks():
+    from fuzzspark.streaming.ops import _stateful_dedup_step
+    st = FakeState()
+    out = _stateful_dedup_step(("deadbeef",), _pdfs({"id": [7, 9]}), st,
+                               "id", 0)
+    assert list(out["id"]) == [7]
+    assert list(out["content_sha256"]) == ["deadbeef"]
+    assert st.updates == [(True,)]
+
+
+def test_stateful_dedup_seen_key_emits_nothing_constant_state():
+    from fuzzspark.streaming.ops import _stateful_dedup_step
+    st = FakeState(value=(True,))
+    # 10k arrivals of an already-seen hash: output empty, and the state
+    # write stays the constant marker — NOT an accreted history blob
+    out = _stateful_dedup_step(("deadbeef",),
+                               _pdfs({"id": list(range(10_000))}), st,
+                               "id", 0)
+    assert len(out) == 0
+    assert st.updates == [(True,)]
+    assert all(u == (True,) for u in st.updates)
+
+
+def test_stateful_dedup_timeout_removes_state():
+    from fuzzspark.streaming.ops import _stateful_dedup_step
+    st = FakeState(value=(True,), timed_out=True)
+    out = _stateful_dedup_step(("deadbeef",), iter([]), st, "id", 5)
+    assert len(out) == 0
+    assert st.removed
+    assert st.updates == []          # no resurrection
+    assert st.timeout_set is None    # no re-arm
+
+
+def test_stateful_dedup_timeout_armed_on_live_key():
+    from fuzzspark.streaming.ops import _stateful_dedup_step
+    st = FakeState()
+    _stateful_dedup_step(("cafe",), _pdfs({"id": [1]}), st, "id", 5)
+    assert st.timeout_set == 5 * 60 * 1000
