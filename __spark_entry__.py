@@ -82,6 +82,16 @@ def _name_pairs(spark, sf_dir):
             .select("c_custkey", "s_suppkey", "c_name", "s_name"))
 
 
+def _part_pairs(spark, sf_dir, ma=20, ra=0, mb=20, rb=10):
+    part = _t(spark, sf_dir, "part")
+    a = part.alias("a").where(F.col("p_partkey") % ma == ra)
+    b = part.alias("b").where(F.col("p_partkey") % mb == rb)
+    return (a.crossJoin(b)
+            .select(F.col("a.p_partkey").alias("left_key"),
+                    F.col("b.p_partkey").alias("right_key"),
+                    F.col("a.p_name").alias("s1"), F.col("b.p_name").alias("s2")))
+
+
 def _scored(pairs, scorer, form, out_col, s1="s1", s2="s2", **kw):
     from fuzzspark.functions import scorer_column
     col = scorer_column(scorer, s1, s2, form, **kw)
@@ -167,27 +177,38 @@ def q_postfix(spark, sf_dir):
 
 
 def q_ratio(spark, sf_dir):
+    # short name pairs so the DuckDB bit-parallel LCS oracle (BIGINT bit
+    # ops need pattern <= 63 chars) can hash-check the exact semantics;
+    # long-string coverage lives in the golden pytest suite + bench
+    p = _name_pairs(spark, sf_dir)
+    return _scored(p, "ratio", "normalized_similarity", "ratio",
+                   "c_name", "s_name").select("c_custkey", "s_suppkey", "ratio")
+
+
+def q_ratio_docs(spark, sf_dir):
+    """Long-string ratio over blocked document pairs — the bench's
+    flagship throughput query (no SQL oracle; goldens pin the kernel)."""
     p = _doc_pairs(spark, sf_dir)
     return _scored(p, "ratio", "normalized_similarity", "ratio") \
         .select("left_id", "right_id", "ratio")
 
 
 def q_indel(spark, sf_dir):
-    p = _doc_pairs(spark, sf_dir)
-    return _scored(p, "indel", "distance", "indel") \
-        .select("left_id", "right_id", "indel")
+    p = _name_pairs(spark, sf_dir)
+    return _scored(p, "indel", "distance", "indel", "c_name", "s_name") \
+        .select("c_custkey", "s_suppkey", "indel")
 
 
 def q_lcs_seq(spark, sf_dir):
-    p = _doc_pairs(spark, sf_dir)
-    return _scored(p, "lcs_seq", "similarity", "lcs") \
-        .select("left_id", "right_id", "lcs")
+    p = _name_pairs(spark, sf_dir)
+    return _scored(p, "lcs_seq", "similarity", "lcs", "c_name", "s_name") \
+        .select("c_custkey", "s_suppkey", "lcs")
 
 
 def q_osa(spark, sf_dir):
-    p = _doc_pairs(spark, sf_dir, mod=13)
-    return _scored(p, "osa", "distance", "osa") \
-        .select("left_id", "right_id", "osa")
+    p = _name_pairs(spark, sf_dir)
+    return _scored(p, "osa", "distance", "osa", "c_name", "s_name") \
+        .select("c_custkey", "s_suppkey", "osa")
 
 
 def q_levenshtein_weighted(spark, sf_dir):
@@ -197,11 +218,12 @@ def q_levenshtein_weighted(spark, sf_dir):
 
 
 def q_ratio_cutoff(spark, sf_dir):
-    """cutoff semantics surfaced as NULL-suppressed column."""
-    p = _doc_pairs(spark, sf_dir)
+    """cutoff semantics surfaced as NULL-suppressed column (name-pair
+    ratios span 0.5..0.667, so 0.6 yields a genuine pass/fail mix)."""
+    p = _name_pairs(spark, sf_dir)
     scored = _scored(p, "ratio", "normalized_similarity", "ratio",
-                     score_cutoff=0.5)
-    return scored.select("left_id", "right_id", "ratio")
+                     "c_name", "s_name", score_cutoff=0.6)
+    return scored.select("c_custkey", "s_suppkey", "ratio")
 
 
 # ------------------------------ training-data-pipeline extras -------------
@@ -321,22 +343,23 @@ def q_langid_hits(spark, sf_dir):
 
 
 def q_token_set_ratio(spark, sf_dir):
-    p = _doc_pairs(spark, sf_dir, mod=17)
+    # multi-token part names (2 whitespace tokens each) over short
+    # strings -> exactly SQL-expressible via set ops + the LCS oracle
+    p = _part_pairs(spark, sf_dir)
     return _scored(p, "token_set_ratio", "normalized_similarity", "tsr") \
-        .select("left_id", "right_id", "tsr")
+        .select("left_key", "right_key", "tsr")
 
 
 def q_token_sort_ratio(spark, sf_dir):
-    p = _doc_pairs(spark, sf_dir, mod=17)
+    p = _part_pairs(spark, sf_dir)
     return _scored(p, "token_sort_ratio", "normalized_similarity", "tsor") \
-        .select("left_id", "right_id", "tsor")
+        .select("left_key", "right_key", "tsor")
 
 
 def q_partial_ratio(spark, sf_dir):
-    # partial_ratio is O(len * window-scan); sample tighter
-    p = _doc_pairs(spark, sf_dir, mod=97)
+    p = _part_pairs(spark, sf_dir)
     return _scored(p, "partial_ratio", "normalized_similarity", "pr") \
-        .select("left_id", "right_id", "pr")
+        .select("left_key", "right_key", "pr")
 
 
 def q_simhash(spark, sf_dir):
@@ -382,6 +405,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+#
+# The LCS family (indel / lcs_seq / ratio / token ratios / partial_ratio
+# / weighted levenshtein (1,1,2)) has no DuckDB built-in, so the oracle
+# re-derives it INDEPENDENTLY inside DuckDB SQL: Hyyrö's bit-parallel
+# LCS fold (public algorithm, same one the reference implements in
+# src/distance/lcs_seq.rs:199-341) over BIGINT bit ops via list_reduce.
+# Valid for patterns <= 63 chars — which is why these queries run over
+# the short name/part columns.  OSA gets the same treatment with the
+# full (vp, vn, d0, pm_prev, dist) state carried through a struct fold.
+
+
+def _sql_lcs(pat: str, txt: str) -> str:
+    """DuckDB expression: LCS length of ``pat``/``txt`` varchar
+    expressions (``pat`` must be <= 63 chars; ASCII-safe)."""
+    pm = (f"coalesce(list_sum([CASE WHEN ascii(substr({pat}, i, 1)) = c "
+          f"THEN (1::BIGINT << (i-1)) ELSE 0 END "
+          f"FOR i IN range(1, length({pat}) + 1)]), 0)")
+    return (f"(length({pat}) - bit_count(list_reduce(list_prepend("
+            f"(1::BIGINT << length({pat})) - 1, "
+            f"[ascii(substr({txt}, j, 1))::BIGINT "
+            f"FOR j IN range(1, length({txt}) + 1)]), "
+            f"(v, c) -> (((v + (v & {pm})) | (v - (v & {pm}))) "
+            f"& ((1::BIGINT << length({pat})) - 1)))))")
+
+
+def _sql_lcs_sym(a: str, b: str) -> str:
+    """LCS with the shorter side as the bit-parallel pattern."""
+    return (f"(CASE WHEN length({a}) <= length({b}) "
+            f"THEN {_sql_lcs(a, b)} ELSE {_sql_lcs(b, a)} END)")
+
+
+def _sql_ratio(a: str, b: str) -> str:
+    """indel normalized_similarity = 2*LCS/(len1+len2); 1.0 for both-empty."""
+    return (f"(CASE WHEN length({a}) + length({b}) = 0 THEN 1.0 "
+            f"ELSE 2.0 * {_sql_lcs_sym(a, b)} "
+            f"/ (length({a}) + length({b})) END)")
+
+
+def _sql_osa(s1: str, s2: str) -> str:
+    """DuckDB expression: OSA distance (Hyyrö bit-parallel Damerau
+    variant, struct-state fold; ``s1`` must be <= 62 chars)."""
+    pm = (f"coalesce(list_sum([CASE WHEN ascii(substr({s1}, i, 1)) = x.code "
+          f"THEN (1::BIGINT << (i-1)) ELSE 0 END "
+          f"FOR i IN range(1, length({s1}) + 1)]), 0)::BIGINT")
+    ones = f"(((1::BIGINT << length({s1})) - 1)::BIGINT)"
+    msb = f"((1::BIGINT << (length({s1}) - 1))::BIGINT)"
+    init = (f"struct_pack(code := (-1)::BIGINT, vp := {ones}, "
+            f"vn := 0::BIGINT, d0 := 0::BIGINT, pmp := 0::BIGINT, "
+            f"dist := length({s1})::BIGINT)")
+    elem = (f"struct_pack(code := ascii(substr({s2}, j, 1))::BIGINT, "
+            f"vp := 0::BIGINT, vn := 0::BIGINT, d0 := 0::BIGINT, "
+            f"pmp := 0::BIGINT, dist := 0::BIGINT)")
+    # list_transform([..])[1] emulates let-bindings (pm/tr, then d0,
+    # then hp/hn) so each intermediate is computed once per step
+    return f"""(CASE
+      WHEN length({s1}) = 0 THEN length({s2})
+      WHEN length({s2}) = 0 THEN length({s1})
+      ELSE (list_reduce(
+        list_prepend({init}, [{elem} FOR j IN range(1, length({s2}) + 1)]),
+        (acc, x) ->
+          list_transform([struct_pack(
+              pm := {pm},
+              tr := ((((((~acc.d0) & {pm}) << 1) & acc.pmp) & {ones})::BIGINT))],
+            y ->
+          list_transform([struct_pack(d0 :=
+                (((xor((((y.pm & acc.vp) + acc.vp)
+                      & ({ones} | ((1::BIGINT << length({s1}))::BIGINT)))::BIGINT,
+                      acc.vp))
+                  | y.pm | acc.vn | y.tr) & {ones})::BIGINT)],
+            z ->
+          list_transform([struct_pack(
+                hp := ((acc.vn | ((~(z.d0 | acc.vp)) & {ones}))::BIGINT),
+                hn := ((z.d0 & acc.vp)::BIGINT))],
+            h ->
+              struct_pack(
+                code := 0::BIGINT,
+                vp := (((((h.hn << 1) & {ones})
+                        | ((~(z.d0 | (((h.hp << 1) | 1) & {ones}))) & {ones})))::BIGINT),
+                vn := (((((h.hp << 1) | 1) & {ones}) & z.d0)::BIGINT),
+                d0 := z.d0,
+                pmp := y.pm,
+                dist := (acc.dist + (CASE WHEN (h.hp & {msb}) != 0 THEN 1
+                                          WHEN (h.hn & {msb}) != 0 THEN -1
+                                          ELSE 0 END))::BIGINT)
+          )[1])[1])[1]
+      ).dist) END)"""
+
+
+# python str.split() semantics: split on runs of whitespace, drop empties
+_SQL_TOKENS = "list_filter(string_split_regex({s}, '\\s+'), t -> t != '')"
+
 
 _NAME_PAIRS_SQL = (
     "FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey "
@@ -498,9 +612,74 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos DESC, cand_id ASC) AS rank FROM s) "
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
-        # ratio / indel / lcs_seq / osa / levenshtein_weighted /
-        # ratio_cutoff / minhash_candidates / simhash / linkage_clusters:
-        # no DuckDB twin (LCS-family kernels, LSH hash family, iterative
-        # clustering) -> rows-only driver check; semantics pinned by the
-        # golden-vector pytest suite instead.
+        # --- LCS family: independent bit-parallel re-derivation in SQL ---
+        "ratio":
+            "SELECT c.c_custkey, s.s_suppkey, "
+            f"ROUND({_sql_ratio('c.c_name', 's.s_name')}, 6) AS ratio "
+            + _NAME_PAIRS_SQL,
+        "ratio_cutoff":
+            "SELECT c_custkey, s_suppkey, "
+            "CASE WHEN r >= 0.6 THEN r END AS ratio FROM ("
+            "SELECT c.c_custkey, s.s_suppkey, "
+            f"ROUND({_sql_ratio('c.c_name', 's.s_name')}, 6) AS r "
+            + _NAME_PAIRS_SQL + ")",
+        "indel":
+            "SELECT c.c_custkey, s.s_suppkey, "
+            "CAST(length(c.c_name) + length(s.s_name) "
+            f"- 2 * {_sql_lcs_sym('c.c_name', 's.s_name')} AS BIGINT) AS indel "
+            + _NAME_PAIRS_SQL,
+        "lcs_seq":
+            "SELECT c.c_custkey, s.s_suppkey, "
+            f"CAST({_sql_lcs_sym('c.c_name', 's.s_name')} AS BIGINT) AS lcs "
+            + _NAME_PAIRS_SQL,
+        # weights (1, 1, 2) reduce levenshtein to indel
+        # (src/distance/levenshtein.rs:1244-1279)
+        "levenshtein_weighted":
+            "SELECT c.c_custkey, s.s_suppkey, "
+            "CAST(length(c.c_name) + length(s.s_name) "
+            f"- 2 * {_sql_lcs_sym('c.c_name', 's.s_name')} AS BIGINT) AS wlev "
+            + _NAME_PAIRS_SQL,
+        "osa":
+            "SELECT c.c_custkey, s.s_suppkey, "
+            f"CAST({_sql_osa('c.c_name', 's.s_name')} AS BIGINT) AS osa "
+            + _NAME_PAIRS_SQL,
+        "token_sort_ratio":
+            "SELECT left_key, right_key, "
+            f"ROUND({_sql_ratio('s1s', 's2s')}, 6) AS tsor FROM ("
+            "SELECT a.p_partkey AS left_key, b.p_partkey AS right_key, "
+            f"array_to_string(list_sort({_SQL_TOKENS.format(s='a.p_name')}), ' ') AS s1s, "
+            f"array_to_string(list_sort({_SQL_TOKENS.format(s='b.p_name')}), ' ') AS s2s "
+            + _PART_PAIRS_SQL.format(ma=20, ra=0, mb=20, rb=10) + ")",
+        "token_set_ratio":
+            "SELECT left_key, right_key, "
+            f"ROUND(greatest({_sql_ratio('sect', 'c1')}, "
+            f"{_sql_ratio('sect', 'c2')}, "
+            f"{_sql_ratio('c1', 'c2')}), 6) AS tsr FROM ("
+            "SELECT left_key, right_key, "
+            "array_to_string(list_sort(list_intersect(t1, t2)), ' ') AS sect, "
+            "trim(concat(array_to_string(list_sort(list_intersect(t1, t2)), ' '), ' ', "
+            "array_to_string(list_sort(list_filter(t1, t -> NOT list_contains(t2, t))), ' '))) AS c1, "
+            "trim(concat(array_to_string(list_sort(list_intersect(t1, t2)), ' '), ' ', "
+            "array_to_string(list_sort(list_filter(t2, t -> NOT list_contains(t1, t))), ' '))) AS c2 "
+            "FROM (SELECT a.p_partkey AS left_key, b.p_partkey AS right_key, "
+            f"list_distinct({_SQL_TOKENS.format(s='a.p_name')}) AS t1, "
+            f"list_distinct({_SQL_TOKENS.format(s='b.p_name')}) AS t2 "
+            + _PART_PAIRS_SQL.format(ma=20, ra=0, mb=20, rb=10) + "))",
+        "partial_ratio":
+            "SELECT left_key, right_key, ROUND(CASE "
+            "WHEN length(pat) = 0 THEN "
+            "(CASE WHEN length(txt) = 0 THEN 1.0 ELSE 0.0 END) "
+            "ELSE list_max(["
+            + _sql_lcs("pat", "substr(txt, k, length(pat))")
+            + " FOR k IN range(1, length(txt) - length(pat) + 2)])::DOUBLE"
+            " / length(pat) END, 6) AS pr FROM ("
+            "SELECT a.p_partkey AS left_key, b.p_partkey AS right_key, "
+            "CASE WHEN length(a.p_name) <= length(b.p_name) "
+            "THEN a.p_name ELSE b.p_name END AS pat, "
+            "CASE WHEN length(a.p_name) <= length(b.p_name) "
+            "THEN b.p_name ELSE a.p_name END AS txt "
+            + _PART_PAIRS_SQL.format(ma=20, ra=0, mb=20, rb=10) + ")",
+        # minhash_candidates / simhash / linkage_clusters: no DuckDB twin
+        # (LSH hash family, iterative clustering) -> rows-only driver
+        # check; semantics pinned by the pytest suite instead.
     }

@@ -55,7 +55,7 @@ def main() -> None:
 
     # 1. flagship scorer throughput: ratio over blocked document pairs
     def _ratio():
-        df = em.q_ratio(spark, SF_DIR)
+        df = em.q_ratio_docs(spark, SF_DIR)
         return df.count()
 
     n_pairs = timed("ratio_pairs", _ratio)
