@@ -362,6 +362,14 @@ def q_partial_ratio(spark, sf_dir):
         .select("left_key", "right_key", "pr")
 
 
+def q_langid(spark, sf_dir):
+    """Full language-ID argmax (Catalyst-native, no UDF) — exactly
+    SQL-expressible, so the whole heuristic gets a DuckDB oracle."""
+    from fuzzspark.extras.textstats import langid_col
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", langid_col("text").alias("lang_guess"))
+
+
 def q_simhash(spark, sf_dir):
     """64-bit SimHash over whitespace tokens (rows-only: bit ops over
     md5 halves; deterministic — pinned by unit tests)."""
@@ -394,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
         "langid_hits": q_langid_hits,
+        "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minhash_candidates": q_minhash_candidates,
@@ -495,6 +504,28 @@ def _sql_osa(s1: str, s2: str) -> str:
 
 # python str.split() semantics: split on runs of whitespace, drop empties
 _SQL_TOKENS = "list_filter(string_split_regex({s}, '\\s+'), t -> t != '')"
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB twin of fuzzspark.extras.textstats.langid_col: argmax of
+    stopword-profile hit counts, ties alphabetically-first, 'unknown'
+    on empty/no-hit."""
+    from fuzzspark.extras.textstats import _PROFILES
+    langs = sorted(_PROFILES)
+    hit_cols = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in _PROFILES[lang])
+        hit_cols.append(
+            f"len(list_filter(string_split_regex(lower(text), '\\s+'), "
+            f"t -> list_contains([{words}], t))) AS h_{lang}")
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = (f"CASE WHEN text IS NULL OR length(text) = 0 "
+            f"OR {best} <= 0 THEN 'unknown' "
+            + " ".join(f"WHEN h_{lang} = {best} THEN '{lang}'"
+                       for lang in langs)
+            + " ELSE 'unknown' END")
+    return (f"SELECT doc_id, {case} AS lang_guess FROM "
+            f"(SELECT doc_id, text, {', '.join(hit_cols)} FROM documents)")
 
 
 _NAME_PAIRS_SQL = (
@@ -612,6 +643,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY cos DESC, cand_id ASC) AS rank FROM s) "
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
+        "langid": _langid_oracle_sql(),
         # --- LCS family: independent bit-parallel re-derivation in SQL ---
         "ratio":
             "SELECT c.c_custkey, s.s_suppkey, "

@@ -41,7 +41,8 @@ def exact_dup_clusters(df: DataFrame, content_col: str = "content",
 
 def simhash64(text: str) -> int:
     """Deterministic 64-bit SimHash over whitespace tokens (md5-based
-    token hashes — stable across processes, unlike Python hash())."""
+    token hashes — stable across processes, unlike Python hash()).
+    Scalar reference; the batch path is ``simhash_batch``."""
     acc = np.zeros(64, dtype=np.int64)
     for tok in text.split():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
@@ -54,10 +55,65 @@ def simhash64(text: str) -> int:
     return int(out >> np.uint64(1))  # keep in signed-long range
 
 
+def simhash_batch(texts) -> np.ndarray:
+    """Vectorized SimHash over a batch (bit-exact with ``simhash64``).
+
+    Each md5 is computed ONCE per distinct token in the batch (natural
+    text repeats tokens heavily), the +/-1 bit contributions become one
+    (n_unique, 64) int8 matrix, and the per-document accumulation is a
+    single ``np.add.at`` scatter — no per-row per-token Python loops.
+    Returns int64 with -1 sentinel replaced by caller (NULLs handled by
+    the UDF wrapper)."""
+    tok_lists = [t.split() for t in texts]
+    n_docs = len(texts)
+    counts = np.fromiter((len(t) for t in tok_lists), dtype=np.int64,
+                         count=n_docs)
+    vocab: dict[str, int] = {}
+    get = vocab.get
+    uids = np.empty(int(counts.sum()), dtype=np.int64)
+    w = 0
+    for toks in tok_lists:
+        for tok in toks:
+            u = get(tok)
+            if u is None:
+                u = len(vocab)
+                vocab[tok] = u
+            uids[w] = u
+            w += 1
+    out = np.zeros(n_docs, dtype=np.int64)
+    if not vocab:
+        return out
+    # one md5 per DISTINCT token
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "little")
+         for tok in vocab),
+        dtype=np.uint64, count=len(vocab))
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int16)
+    contrib = (bits * 2 - 1).astype(np.int16)  # +/-1 per bit
+    # tokens are doc-contiguous: one segmented-sum over the token rows
+    # (np.add.reduceat) gives every non-empty doc's 64 accumulators
+    nz = np.flatnonzero(counts)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])[nz]
+    acc = np.add.reduceat(contrib[uids].astype(np.int32), starts, axis=0)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    packed = ((acc > 0).astype(np.uint64) * weights).sum(axis=1,
+                                                         dtype=np.uint64)
+    out[nz] = (packed >> np.uint64(1)).astype(np.int64)
+    # empty docs: acc all zeros -> no bits set -> 0 (matches simhash64)
+    return out
+
+
 def simhash_udf():
     @pandas_udf("long")
     def _udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: simhash64(t) if t is not None else None)
+        mask = text.notna()
+        vals = simhash_batch(text[mask].tolist())
+        out = pd.Series(np.zeros(len(text), dtype=np.int64),
+                        index=text.index, dtype="Int64")
+        out[~mask] = pd.NA
+        out[mask] = vals
+        return out
     return _udf
 
 

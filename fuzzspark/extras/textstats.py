@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["token_count_col", "quality_cols", "fingerprint_col",
-           "langid_udf"]
+           "langid_col", "langid_udf"]
 
 
 def token_count_col(text="text"):
@@ -100,9 +100,35 @@ _PROFILES = {
 }
 
 
+def _lang_hits_col(text, words) -> F.Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(
+        f"size(filter(split(lower({text}), '\\\\s+'), "
+        f"t -> array_contains(array({arr}), t)))")
+
+
+def langid_col(text="text") -> F.Column:
+    """Heuristic language ID, fully Catalyst-native (JVM-side): argmax
+    of stopword-profile hit counts, ties to the alphabetically first
+    language, 'unknown' when nothing matches or the text is NULL/empty.
+
+    Same semantics as ``langid_udf`` (kept as the UDF fallback /
+    cross-check) without any Python in the hot path."""
+    langs = sorted(_PROFILES)
+    hits = {lang: _lang_hits_col(text, _PROFILES[lang]) for lang in langs}
+    best = F.greatest(*hits.values())
+    expr = F.when(F.col(text).isNull() | (F.length(text) == 0)
+                  | (best <= 0), F.lit("unknown"))
+    for lang in langs:  # CASE order resolves ties alphabetically-first
+        expr = expr.when(hits[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
 def langid_udf():
     """Heuristic language ID: argmax of stopword-profile hit rates.
-    Returns 'unknown' when nothing matches."""
+    Returns 'unknown' when nothing matches.  Prefer ``langid_col`` (the
+    Catalyst-native twin) in pipelines; this UDF is the reference
+    implementation it is tested against."""
     profiles = {k: frozenset(v) for k, v in _PROFILES.items()}
 
     @pandas_udf("string")

@@ -16,14 +16,31 @@
 
 #define EMPTY_KEY 0xFFFFFFFFu
 
+/* Pattern-match-vector with two storage modes, both arena-backed (no
+ * per-pattern malloc/free):
+ *  - direct: all pattern code points < 256 (the overwhelmingly common
+ *    case) -> masks indexed straight by code, presence bitmap skips
+ *    absent chars without a hash probe.
+ *  - hashed: open addressing with linear probing for wide alphabets. */
 typedef struct {
-    uint32_t *keys;      /* open addressing, linear probe */
-    int32_t  *rowidx;    /* slot -> row in masks */
-    uint64_t *masks;     /* nrows x words */
+    int       direct;
+    int64_t   words;
+    uint64_t *dmask;     /* direct: 256 x words */
+    uint64_t  present[4];
+    uint32_t *keys;      /* hashed: open addressing, linear probe */
+    int32_t  *rowidx;    /* slot -> row in hmask */
+    uint64_t *hmask;     /* hashed: nrows x words */
     uint32_t  cap;       /* power of two */
     int32_t   nrows;
-    int64_t   words;
 } PM;
+
+typedef struct {            /* reused across every pair in a batch */
+    uint64_t *dmask;        /* 256 * max_words */
+    uint64_t *hmask;        /* max_m * max_words */
+    uint32_t *keys;         /* cap_max */
+    int32_t  *rowidx;       /* cap_max */
+    uint32_t  cap_max;      /* power of two >= 2 * max_m */
+} PMArena;
 
 static inline uint32_t hash32(uint32_t x) {
     x ^= x >> 16; x *= 0x7feb352du;
@@ -31,18 +48,45 @@ static inline uint32_t hash32(uint32_t x) {
     x ^= x >> 16; return x;
 }
 
-static int pm_build(PM *pm, const uint32_t *pat, int64_t m, int64_t words) {
+static int arena_init(PMArena *ar, int64_t max_m, int64_t max_words) {
+    uint32_t cap = 16;
+    while (cap < (uint32_t)(2 * max_m)) cap <<= 1;
+    ar->cap_max = cap;
+    ar->dmask = (uint64_t *)malloc(256u * (size_t)max_words
+                                   * sizeof(uint64_t));
+    ar->hmask = (uint64_t *)malloc((size_t)(max_m > 0 ? max_m : 1)
+                                   * (size_t)max_words * sizeof(uint64_t));
+    ar->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+    ar->rowidx = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+    return (ar->dmask && ar->hmask && ar->keys && ar->rowidx) ? 0 : -1;
+}
+
+static void arena_free(PMArena *ar) {
+    free(ar->dmask); free(ar->hmask); free(ar->keys); free(ar->rowidx);
+}
+
+static void pm_build(PM *pm, PMArena *ar, const uint32_t *pat, int64_t m,
+                     int64_t words) {
+    int direct = 1;
+    for (int64_t i = 0; i < m; i++)
+        if (pat[i] >= 256u) { direct = 0; break; }
+    pm->direct = direct; pm->words = words;
+    if (direct) {
+        pm->dmask = ar->dmask;
+        memset(ar->dmask, 0, 256u * (size_t)words * sizeof(uint64_t));
+        memset(pm->present, 0, sizeof(pm->present));
+        for (int64_t i = 0; i < m; i++) {
+            uint32_t c = pat[i];
+            pm->dmask[(size_t)c * words + (i >> 6)] |= 1ull << (i & 63);
+            pm->present[c >> 6] |= 1ull << (c & 63);
+        }
+        return;
+    }
     uint32_t cap = 16;
     while (cap < (uint32_t)(2 * m)) cap <<= 1;
-    pm->cap = cap; pm->words = words; pm->nrows = 0;
-    pm->keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
-    pm->rowidx = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
-    if (!pm->keys || !pm->rowidx) return -1;
+    pm->cap = cap; pm->nrows = 0;
+    pm->keys = ar->keys; pm->rowidx = ar->rowidx; pm->hmask = ar->hmask;
     memset(pm->keys, 0xFF, (size_t)cap * sizeof(uint32_t));
-    /* distinct chars <= m */
-    pm->masks = (uint64_t *)calloc((size_t)m * (size_t)words,
-                                   sizeof(uint64_t));
-    if (!pm->masks) return -1;
     for (int64_t i = 0; i < m; i++) {
         uint32_t c = pat[i];
         uint32_t slot = hash32(c) & (cap - 1);
@@ -53,26 +97,28 @@ static int pm_build(PM *pm, const uint32_t *pat, int64_t m, int64_t words) {
             pm->keys[slot] = c;
             row = pm->nrows++;
             pm->rowidx[slot] = row;
+            memset(pm->hmask + (size_t)row * words, 0,
+                   (size_t)words * sizeof(uint64_t));
         } else {
             row = pm->rowidx[slot];
         }
-        pm->masks[(size_t)row * words + (i >> 6)] |= 1ull << (i & 63);
+        pm->hmask[(size_t)row * words + (i >> 6)] |= 1ull << (i & 63);
     }
-    return 0;
 }
 
 static inline const uint64_t *pm_get(const PM *pm, uint32_t c) {
+    if (pm->direct) {
+        if (c >= 256u || !(pm->present[c >> 6] & (1ull << (c & 63))))
+            return NULL;
+        return pm->dmask + (size_t)c * pm->words;
+    }
     uint32_t slot = hash32(c) & (pm->cap - 1);
     while (1) {
         uint32_t k = pm->keys[slot];
-        if (k == c) return pm->masks + (size_t)pm->rowidx[slot] * pm->words;
+        if (k == c) return pm->hmask + (size_t)pm->rowidx[slot] * pm->words;
         if (k == EMPTY_KEY) return NULL;
         slot = (slot + 1) & (pm->cap - 1);
     }
-}
-
-static void pm_free(PM *pm) {
-    free(pm->keys); free(pm->rowidx); free(pm->masks);
 }
 
 /* ---------------- LCS (Hyyrö bit-parallel, blocked) ---------------- */
@@ -218,21 +264,30 @@ static int64_t max_words(const int64_t *off, int64_t n_pairs) {
     return mw;
 }
 
-/* kind: 0 = lcs similarity, 1 = levenshtein distance, 2 = osa distance */
+/* kind: 0 = lcs similarity, 1 = levenshtein distance, 2 = osa distance.
+ * Common-affix stripping happens HERE (memory-speed scans), so callers
+ * pass raw pairs: LCS gets the affix added back, the distances are
+ * invariant under stripping (src/details/common.rs:79-108 analog). */
 int batch_metric(int kind,
                  const uint32_t *pat, const int64_t *pat_off,
                  const uint32_t *txt, const int64_t *txt_off,
                  int64_t n_pairs, int64_t *out) {
     int64_t mw = max_words(pat_off, n_pairs);
+    int64_t max_m = 1;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        if (m > max_m) max_m = m;
+    }
     uint64_t *s1 = (uint64_t *)malloc((size_t)mw * sizeof(uint64_t));
     uint64_t *s2 = (uint64_t *)malloc((size_t)mw * sizeof(uint64_t));
     uint64_t *s3 = (uint64_t *)malloc((size_t)mw * sizeof(uint64_t));
     uint64_t *s4 = (uint64_t *)malloc((size_t)mw * sizeof(uint64_t));
-    if (!s1 || !s2 || !s3 || !s4) {
-        free(s1); free(s2); free(s3); free(s4);
+    PMArena ar;
+    int rc = arena_init(&ar, max_m, mw);
+    if (!s1 || !s2 || !s3 || !s4 || rc != 0) {
+        free(s1); free(s2); free(s3); free(s4); arena_free(&ar);
         return -1;
     }
-    int rc = 0;
     PM pm;
     const uint32_t *last_pat = NULL;
     int64_t last_m = -1;
@@ -242,24 +297,89 @@ int batch_metric(int kind,
         int64_t m = pat_off[i + 1] - pat_off[i];
         const uint32_t *t = txt + txt_off[i];
         int64_t n = txt_off[i + 1] - txt_off[i];
-        if (m == 0) { out[i] = (kind == 0) ? 0 : n; continue; }
-        if (n == 0) { out[i] = (kind == 0) ? 0 : m; continue; }
+        /* strip common prefix + suffix */
+        int64_t lim = m < n ? m : n;
+        int64_t pre = 0;
+        while (pre < lim && p[pre] == t[pre]) pre++;
+        int64_t suf = 0;
+        while (suf < lim - pre && p[m - 1 - suf] == t[n - 1 - suf]) suf++;
+        const uint32_t *ps = p + pre;
+        const uint32_t *ts = t + pre;
+        int64_t ms = m - pre - suf;
+        int64_t ns = n - pre - suf;
+        if (ms == 0 || ns == 0) {
+            /* one side fully consumed: LCS = all of the shorter side,
+             * distance = leftover of the longer */
+            out[i] = (kind == 0) ? (ms == 0 ? m : n)
+                                 : (ms == 0 ? ns : ms);
+            continue;
+        }
         /* BatchComparator analog: reuse masks when consecutive pairs
-         * share the same pattern content (caller sorts by pattern). */
+         * share the same (stripped) pattern content. */
+        if (!(have_pm && ms == last_m
+              && (ps == last_pat
+                  || memcmp(ps, last_pat,
+                            (size_t)ms * sizeof(uint32_t)) == 0))) {
+            pm_build(&pm, &ar, ps, ms, (ms + 63) >> 6);
+            have_pm = 1; last_pat = ps; last_m = ms;
+        }
+        if (kind == 0)
+            out[i] = lcs_one(ps, ms, ts, ns, s1, &pm) + pre + suf;
+        else if (kind == 1)
+            out[i] = lev_one(ps, ms, ts, ns, s1, s2, &pm);
+        else
+            out[i] = osa_one(ps, ms, ts, ns, s1, s2, s3, s4, &pm);
+    }
+    free(s1); free(s2); free(s3); free(s4); arena_free(&ar);
+    return 0;
+}
+
+/* partial_ratio support: out[i] = max over all length-m windows of txt
+ * of LCS(pat, window).  Pattern masks are built ONCE per pattern and
+ * shared by every window; early-exits on a perfect window.  Caller
+ * passes the shorter string as pat (m <= n). */
+int batch_partial_lcs(const uint32_t *pat, const int64_t *pat_off,
+                      const uint32_t *txt, const int64_t *txt_off,
+                      int64_t n_pairs, int64_t *out) {
+    int64_t mw = max_words(pat_off, n_pairs);
+    int64_t max_m = 1;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        if (m > max_m) max_m = m;
+    }
+    uint64_t *S = (uint64_t *)malloc((size_t)mw * sizeof(uint64_t));
+    PMArena ar;
+    int rc = arena_init(&ar, max_m, mw);
+    if (!S || rc != 0) { free(S); arena_free(&ar); return -1; }
+    PM pm;
+    const uint32_t *last_pat = NULL;
+    int64_t last_m = -1;
+    int have_pm = 0;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const uint32_t *p = pat + pat_off[i];
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        const uint32_t *t = txt + txt_off[i];
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        if (m == 0 || n < m) { out[i] = 0; continue; }
         if (!(have_pm && m == last_m
               && (p == last_pat
-                  || memcmp(p, last_pat, (size_t)m * sizeof(uint32_t)) == 0))) {
-            if (have_pm) pm_free(&pm);
-            if (pm_build(&pm, p, m, (m + 63) >> 6) != 0) { rc = -1; break; }
+                  || memcmp(p, last_pat,
+                            (size_t)m * sizeof(uint32_t)) == 0))) {
+            pm_build(&pm, &ar, p, m, (m + 63) >> 6);
             have_pm = 1; last_pat = p; last_m = m;
         }
-        if (kind == 0)      out[i] = lcs_one(p, m, t, n, s1, &pm);
-        else if (kind == 1) out[i] = lev_one(p, m, t, n, s1, s2, &pm);
-        else                out[i] = osa_one(p, m, t, n, s1, s2, s3, s4, &pm);
+        int64_t best = 0;
+        for (int64_t start = 0; start + m <= n; start++) {
+            int64_t l = lcs_one(p, m, t + start, m, S, &pm);
+            if (l > best) {
+                best = l;
+                if (best == m) break;
+            }
+        }
+        out[i] = best;
     }
-    if (have_pm) pm_free(&pm);
-    free(s1); free(s2); free(s3); free(s4);
-    return rc;
+    free(S); arena_free(&ar);
+    return 0;
 }
 
 /* ----------------------- Jaro similarity ---------------------------- */

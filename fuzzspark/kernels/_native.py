@@ -102,6 +102,15 @@ def get_lib():
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
         ]
+        lib.batch_partial_lcs.restype = ctypes.c_int
+        lib.batch_partial_lcs.argtypes = [
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
         lib.batch_damerau.restype = ctypes.c_int
         lib.batch_damerau.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -144,6 +153,23 @@ def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str]
     if rc != 0:  # pragma: no cover (allocation failure)
         return None
     return out
+
+
+def native_partial_lcs(pat_strs: list[str], txt_strs: list[str]
+                       ) -> np.ndarray | None:
+    """max LCS of pat against any equal-length window of txt (pat must
+    be the shorter side), or None when no compiler is available."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not pat_strs:
+        return np.zeros(0, dtype=np.int64)
+    pat, pat_off = _flatten(pat_strs)
+    txt, txt_off = _flatten(txt_strs)
+    out = np.empty(len(pat_strs), dtype=np.int64)
+    rc = lib.batch_partial_lcs(pat, pat_off, txt, txt_off,
+                               len(pat_strs), out)
+    return out if rc == 0 else None
 
 
 def native_jaro(pat_strs: list[str], txt_strs: list[str]) -> np.ndarray | None:

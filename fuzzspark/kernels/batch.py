@@ -79,37 +79,76 @@ def _pad_codes(strs: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def _factorize(strs: list[str]) -> tuple[np.ndarray, int]:
+    """string -> dense group id (dict hashing — O(n), no string sort)."""
+    gids = np.empty(len(strs), dtype=np.int64)
+    seen: dict[str, int] = {}
+    for i, s in enumerate(strs):
+        g = seen.get(s)
+        if g is None:
+            g = len(seen)
+            seen[s] = g
+        gids[i] = g
+    return gids, len(seen)
+
+
+def _native_reordered(kind_fn, pat: list[str], txt: list[str]):
+    """Call a native batch kernel with pairs grouped by pattern content
+    when duplicates exist (so the C mask reuse fires), else in natural
+    order.  Returns results in natural order, or None w/o a compiler."""
+    n = len(pat)
+    # cheap probe: if a prefix sample is all-distinct, assume the batch
+    # is too and skip the full factorize + sort (correct either way —
+    # grouping only enables mask reuse)
+    probe = min(n, 512)
+    gids, n_distinct = _factorize(pat[:probe])
+    if n_distinct == probe and probe < n:
+        return kind_fn(pat, txt)
+    if probe < n:
+        gids, n_distinct = _factorize(pat)
+    if n_distinct < 0.9 * n:
+        order = np.argsort(gids, kind="stable")
+        got = kind_fn([pat[k] for k in order], [txt[k] for k in order])
+        if got is None:
+            return None
+        out = np.empty(n, dtype=np.int64)
+        out[order] = got
+        return out
+    return kind_fn(pat, txt)
+
+
 def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndarray:
-    """Exact distances for levenshtein/lcs(core=similarity)/osa over many
-    pairs.  Returns raw *core* outputs: for 'lcs_seq' the LCS length of
-    the stripped remainder (caller adds affix back), else the distance.
+    """Exact full-string metric for levenshtein/lcs(core=similarity)/osa
+    over many RAW pairs: for 'lcs_seq' the LCS length of the pair, else
+    the distance.  Common-affix stripping happens inside the kernels
+    (C path) or here (fallback) — callers pass unstripped strings.
 
     Fast path: the compiled batch kernel (_native.c) when a compiler is
     available; else numpy across-pair uint64 lanes for short patterns
     and big-int bit-parallel cores for long ones."""
-    native = _native.get_lib() is not None
-    if native and pairs:
+    n = len(pairs)
+    if _native.get_lib() is not None and pairs:
         # all three metrics are symmetric; the shorter side as pattern
-        # minimizes the word count.  Sort by pattern so the C kernel's
-        # consecutive-pattern mask reuse (BatchComparator analog) fires.
+        # minimizes the word count
         pat = [a if len(a) <= len(b) else b for a, b in pairs]
         txt = [b if len(a) <= len(b) else a for a, b in pairs]
-        order = sorted(range(len(pairs)), key=pat.__getitem__)
-        got = _native.native_batch(_NATIVE_KIND[kind],
-                                   [pat[k] for k in order],
-                                   [txt[k] for k in order])
+        got = _native_reordered(
+            lambda p, t: _native.native_batch(_NATIVE_KIND[kind], p, t),
+            pat, txt)
         if got is not None:
-            out = np.empty(len(pairs), dtype=np.int64)
-            out[order] = got
-            return out
+            return got
     scalar_core, np_core = _BITPAR_CORES[kind]
-    n = len(pairs)
     out = np.zeros(n, dtype=np.int64)
+    # strip affixes python-side; LCS gets them added back at the end
+    stripped = [strip_common_affix(a, b) for a, b in pairs]
+    affix = np.fromiter(
+        (len(a) - len(a2) for (a, _b), (a2, _b2) in zip(pairs, stripped)),
+        dtype=np.int64, count=n)
     short_idx: list[int] = []
     short_pairs: list[tuple[str, str]] = []
     long_idx: list[int] = []
     long_pairs: list[tuple[str, str]] = []
-    for k, (a, b) in enumerate(pairs):
+    for k, (a, b) in enumerate(stripped):
         if not a:
             out[k] = 0 if kind == "lcs_seq" else len(b)
         elif not b:
@@ -145,7 +184,41 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
                     masks = pattern_masks(a)
                     last = a
                 out[long_idx[k]] = scalar_core(a, b, masks)
+    if kind == "lcs_seq":
+        out += affix
     return out
+
+
+def _ratio_sims(pairs: list[tuple[str, str]]) -> np.ndarray:
+    """indel normalized_similarity (= fuzz.ratio) per raw pair."""
+    n = len(pairs)
+    if not n:
+        return np.zeros(0)
+    total = np.fromiter((len(a) + len(b) for a, b in pairs),
+                        dtype=np.int64, count=n)
+    lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+    dist = total - 2 * lcs_full
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(total == 0, 1.0,
+                        1.0 - dist / np.where(total == 0, 1, total))
+
+
+def _partial_ratio_batch(pairs: list[tuple[str, str]]) -> np.ndarray:
+    """Best window ratio per pair via the native batch kernel (pattern
+    masks shared across all windows of a pair); python fallback."""
+    n = len(pairs)
+    shorter = [a if len(a) <= len(b) else b for a, b in pairs]
+    longer = [b if len(a) <= len(b) else a for a, b in pairs]
+    if _native.get_lib() is not None and n:
+        got = _native_reordered(_native.native_partial_lcs, shorter, longer)
+        if got is not None:
+            m = np.fromiter((len(s) for s in shorter), np.int64, count=n)
+            nl = np.fromiter((len(s) for s in longer), np.int64, count=n)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return np.where(m == 0, np.where(nl == 0, 1.0, 0.0),
+                                got / np.maximum(m, 1))
+    return np.fromiter((_fuzz.partial_ratio_raw(a, b) for a, b in pairs),
+                       np.float64, count=n)
 
 
 def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
@@ -158,8 +231,8 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
     idx = np.flatnonzero(valid)
 
     if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
-        stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
-        raw[idx] = _bitpar_family_distances("levenshtein", stripped)
+        raw[idx] = _bitpar_family_distances(
+            "levenshtein", [(s1[k], s2[k]) for k in idx])
     elif scorer == "levenshtein":
         for k in idx:
             raw[k] = levenshtein_distance_raw(s1[k], s2[k], tuple(weights))
@@ -169,27 +242,19 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                      for k in idx]
         else:
             pairs = [(s1[k], s2[k]) for k in idx]
-        lens = np.array([[len(a), len(b)] for a, b in pairs], dtype=np.int64).reshape(-1, 2)
-        stripped = [strip_common_affix(a, b) for a, b in pairs]
-        # stripped affix chars are all part of the LCS
-        affix = np.array([len(a) - len(a2) for (a, _b), (a2, _b2) in zip(pairs, stripped)],
-                         dtype=np.int64) if len(pairs) else np.zeros(0, dtype=np.int64)
-        lcs_rem = _bitpar_family_distances("lcs_seq", stripped)
-        lcs_full = lcs_rem + affix
-        if scorer == "indel":
-            raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
-        elif scorer == "lcs_seq":
-            # canonical raw = distance = max(len) - lcs
-            raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
-        else:  # ratio family: similarity canonical
-            total = lens[:, 0] + lens[:, 1]
-            dist = total - 2 * lcs_full
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sim = np.where(total == 0, 1.0, 1.0 - dist / np.where(total == 0, 1, total))
-            raw[idx] = sim
+        if scorer in ("ratio", "token_sort_ratio"):
+            raw[idx] = _ratio_sims(pairs)
+        else:
+            lens = np.array([[len(a), len(b)] for a, b in pairs],
+                            dtype=np.int64).reshape(-1, 2)
+            lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+            if scorer == "indel":
+                raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
+            else:  # lcs_seq: canonical raw = distance = max(len) - lcs
+                raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
     elif scorer == "osa":
-        stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
-        raw[idx] = _bitpar_family_distances("osa", stripped)
+        raw[idx] = _bitpar_family_distances(
+            "osa", [(s1[k], s2[k]) for k in idx])
     elif scorer == "damerau_levenshtein":
         stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
         got = _native.native_damerau([a for a, _ in stripped],
@@ -258,11 +323,22 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                 p += 1
             raw[k] = max(len(a), len(b)) - p
     elif scorer == "partial_ratio":
-        for k in idx:
-            raw[k] = _fuzz.partial_ratio_raw(s1[k], s2[k])
+        raw[idx] = _partial_ratio_batch([(s1[k], s2[k]) for k in idx])
     elif scorer == "token_set_ratio":
+        # the three derived string pairs per row all flow through ONE
+        # batched LCS call instead of per-row big-int cores
+        trip: list[tuple[str, str]] = []
         for k in idx:
-            raw[k] = _fuzz.token_set_ratio(s1[k], s2[k])
+            t1, t2 = set(s1[k].split()), set(s2[k].split())
+            inter = sorted(t1 & t2)
+            d1 = sorted(t1 - t2)
+            d2 = sorted(t2 - t1)
+            sect = " ".join(inter)
+            c1 = (sect + " " + " ".join(d1)).strip()
+            c2 = (sect + " " + " ".join(d2)).strip()
+            trip += [(sect, c1), (sect, c2), (c1, c2)]
+        if len(idx):
+            raw[idx] = _ratio_sims(trip).reshape(-1, 3).max(axis=1)
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     return raw, valid

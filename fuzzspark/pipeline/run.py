@@ -59,9 +59,10 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         default = spark.sparkContext.defaultParallelism
         target = int(spark.conf.get("fuzzspark.python.parallelism",
                                     str(default)))
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
-        return df
+        # unconditional: checking df.rdd.getNumPartitions() would force
+        # an RDD conversion of the analyzed plan on every call; the
+        # round-robin shuffle also rebalances the scorer stage
+        return df.repartition(target)
 
     files_ck = runner.run(
         "01_files",

@@ -157,3 +157,39 @@ def test_stateful_dedup_timeout_armed_on_live_key():
     st = FakeState()
     _stateful_dedup_step(("cafe",), _pdfs({"id": [1]}), st, "id", 5)
     assert st.timeout_set == 5 * 60 * 1000
+
+
+# ---------------------------------------------------------------------------
+# 4. vectorized simhash + JVM-side langid parity
+# ---------------------------------------------------------------------------
+
+def test_simhash_batch_bit_exact():
+    from fuzzspark.extras.dedup import simhash64, simhash_batch
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcdefgh") for _ in range(rng.randint(1, 7)))
+             for _ in range(60)]
+    texts = [" ".join(rng.choice(words) for _ in range(rng.randint(0, 40)))
+             for _ in range(300)]
+    texts += ["", "solo", "a a a"]
+    assert list(simhash_batch(texts)) == [simhash64(t) for t in texts]
+
+
+def test_langid_col_matches_udf(spark):
+    from pyspark.sql import functions as F
+    from fuzzspark.extras.textstats import langid_col, langid_udf
+    rows = [(1, "the cat and the dog is in of to for that"),
+            (2, "der hund und die katze ist nicht ein zu"),
+            (3, "def foo return if else for while import class"),
+            (4, "zzz qqq xxx"),
+            (5, ""),
+            (6, None),
+            (7, "le la et les des est une que"),
+            (8, "el la de que los una por con"),
+            (9, "the der le el"),  # 1-hit tie -> alphabetically first
+            ]
+    df = spark.createDataFrame(rows, "id: long, text: string")
+    out = (df.withColumn("jvm", langid_col("text"))
+             .withColumn("py", langid_udf()(F.col("text"))))
+    bad = out.where((F.col("jvm") != F.col("py"))
+                    | F.col("jvm").isNull() | F.col("py").isNull()).collect()
+    assert not bad, bad
