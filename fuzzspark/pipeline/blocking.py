@@ -152,12 +152,14 @@ def defuse_skew(blocks: DataFrame, files_len: DataFrame,
 
     ``files_len``: (id, content_len).
     """
-    counted = blocks.join(
-        blocks.groupBy("block_key").agg(F.count("*").alias("_bsize")),
-        "block_key")
+    from pyspark.sql import Window
+    # window census: ONE shuffle by block_key and a single computation
+    # of the (UDF-bearing) blocks input — a groupBy+self-join would scan
+    # it twice and pay a second shuffle for the join
+    counted = blocks.withColumn(
+        "_bsize", F.count("*").over(Window.partitionBy("block_key")))
     small = counted.where(F.col("_bsize") <= max_block).select("id", "block_key")
     big = counted.where(F.col("_bsize") > max_block).join(files_len, "id")
-    from pyspark.sql import Window
     w = Window.partitionBy("block_key").orderBy("content_len", "id")
     ranked = big.withColumn("_rank", F.row_number().over(w) - 1)
     half = max(1, window // 2)

@@ -48,10 +48,52 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out.unionByName(anchor).distinct()
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def _driver_union_find(e: DataFrame) -> DataFrame:
+    """Finish a small edge set driver-side: union-by-min with path
+    compression (roots are automatically the component minimum — the
+    smaller id is always kept as the root of any union).  The standard
+    small-tail cutoff for iterative CC: the last rounds of star
+    contraction operate on a tiny graph where per-round distributed job
+    overhead dominates, at ANY input scale."""
+    import pandas as pd
+
+    pdf = e.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    nodes = pd.unique(pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
+    labels = pd.DataFrame({
+        "id": nodes.astype("int64"),
+        "cluster_id": [find(int(n)) for n in nodes],
+    })
+    return e.sparkSession.createDataFrame(labels,
+                                          "id: long, cluster_id: long")
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         driver_finish_edges: int = 1_000_000) -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
     min member id.  Nodes absent from ``edges`` are not returned
-    (callers union isolated nodes as their own cluster)."""
+    (callers union isolated nodes as their own cluster).
+
+    Distributed star rounds contract the graph; once the surviving edge
+    set fits under ``driver_finish_edges`` (components are invariant
+    under the star transforms) a driver-side union-find finishes it —
+    set 0 to force the fully-distributed fixpoint."""
     def _fingerprint(df: DataFrame) -> tuple:
         """(edge count, order-insensitive 64-bit content hash) — one
         light aggregation instead of two exceptAll joins per round."""
@@ -61,7 +103,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         return (row["n"], row["h"])
 
     e = _symmetrize(edges).distinct().localCheckpoint()
-    prev_fp = None
+    prev_fp = _fingerprint(e)
+    if driver_finish_edges and prev_fp[0] <= driver_finish_edges:
+        return _driver_union_find(e)
     for _ in range(max_iter):
         # both stars operate on the symmetrized neighborhood view; the
         # output of small-star is directed, so re-symmetrize each round.
@@ -73,6 +117,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ).localCheckpoint(eager=False)
         fp = _fingerprint(e2)
         e = e2
+        if driver_finish_edges and fp[0] <= driver_finish_edges:
+            return _driver_union_find(e)
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -35,6 +35,9 @@ class LinkageConfig:
     use_path: bool = True
     use_minhash: bool = True
     cc_max_iter: int = 20
+    # finish CC driver-side once the contracted edge set is this small
+    # (0 = fully-distributed fixpoint)
+    cc_driver_finish: int = 1_000_000
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -78,15 +81,24 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     if n_drift:
         raise RuntimeError("content sha256 integrity violation in 01_files")
 
-    blocks = runner.run(
-        "02_blocks",
-        lambda: defuse_skew(
-            block_keys(files_ck, use_exact=cfg.use_exact, use_path=cfg.use_path,
-                       use_minhash=cfg.use_minhash, n_bands=cfg.n_bands,
-                       rows_per_band=cfg.rows_per_band, shingle=cfg.shingle,
-                       max_chars=cfg.max_chars),
-            files_ck.select("id", "content_len"),
-            max_block=cfg.max_block, window=cfg.window))
+    _bk_cache: list[DataFrame] = []
+
+    def _blocks():
+        # widen BEFORE the minhash UDF: the persisted 01_files stage is
+        # tiny on disk and would otherwise reach the python workers as a
+        # single input split; persist so the small/big branches of the
+        # skew census reuse one computation instead of re-running the UDF
+        bk = block_keys(widen(files_ck), use_exact=cfg.use_exact,
+                        use_path=cfg.use_path, use_minhash=cfg.use_minhash,
+                        n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band,
+                        shingle=cfg.shingle, max_chars=cfg.max_chars).persist()
+        _bk_cache.append(bk)
+        return defuse_skew(bk, files_ck.select("id", "content_len"),
+                           max_block=cfg.max_block, window=cfg.window)
+
+    blocks = runner.run("02_blocks", _blocks)
+    for bk in _bk_cache:  # stage is parquet-persisted; drop the cache
+        bk.unpersist()
 
     pairs = runner.run(
         "03_pairs",
@@ -112,7 +124,9 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     def _cluster():
         edges = scores.where(F.col("score") >= cfg.threshold) \
                       .select("left_id", "right_id")
-        labels = connected_components(edges, max_iter=cfg.cc_max_iter)
+        labels = connected_components(
+            edges, max_iter=cfg.cc_max_iter,
+            driver_finish_edges=cfg.cc_driver_finish)
         # isolated nodes -> singleton clusters
         return (files_ck.select("id").join(labels, "id", "left_outer")
                 .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))
