@@ -293,6 +293,46 @@ def q_ann_cosine_topk(spark, sf_dir):
             .select("query_id", "cand_id", "cos", "rank"))
 
 
+def q_seq_levenshtein(spark, sf_dir):
+    """Generic-sequence inputs: levenshtein over token-id ARRAYS
+    (array<int>), the analog of the reference's generics over hashable
+    elements (src/lib.rs:146-148, src/details/common.rs:29-37).  The
+    deterministic token-id function keeps ids in ASCII range so the
+    DuckDB oracle can score the chr()-mapped strings byte-wise."""
+    d = _t(spark, sf_dir, "documents")
+    tok = F.expr("transform(filter(split(text, '\\\\s+'), t -> t != ''), "
+                 "t -> (length(t) * 31 + ascii(substr(t, 1, 1))) % 90 + 32)")
+    docs = d.select("doc_id", "lang", tok.alias("tok_ids"))
+    a, b = docs.alias("a"), docs.alias("b")
+    p = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .where((F.col("a.doc_id") + F.col("b.doc_id")) % 23 == 0)
+         .select(F.col("a.doc_id").alias("left_id"),
+                 F.col("b.doc_id").alias("right_id"),
+                 F.col("a.tok_ids").alias("t1"),
+                 F.col("b.tok_ids").alias("t2")))
+    from fuzzspark.functions import scorer_column
+    return (p.withColumn("seq_lev",
+                         scorer_column("levenshtein", "t1", "t2",
+                                       "distance").cast("long"))
+            .select("left_id", "right_id", "seq_lev"))
+
+
+def q_lsh_cosine_topk(spark, sf_dir):
+    """Scale-path ANN: sign-random-projection LSH bucketing bounds the
+    per-query candidate set (rows-only: the hash family is not
+    SQL-expressible; recall >= 0.9 vs the exact twin is pinned in
+    tests/test_round2_fixes.py)."""
+    from fuzzspark.extras.similarity import lsh_cosine_topk
+    e = _t(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    q = e.where(F.col("vec_id") % 50 == 0) \
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    out = lsh_cosine_topk(e, q, k=5, dim=dim, n_bands=16, bits_per_band=6)
+    return out.select("query_id", "cand_id",
+                      F.round("cos", 5).alias("cos"), "rank")
+
+
 def q_minhash_candidates(spark, sf_dir):
     """LSH candidate pairs over documents (rows-only: hash family not
     SQL-expressible), verified by exact 5-shingle containment in tests."""
@@ -405,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "lsh_cosine_topk": q_lsh_cosine_topk,
+        "seq_levenshtein": q_seq_levenshtein,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
         "linkage_clusters": q_linkage_clusters,
@@ -644,6 +686,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
         "langid": _langid_oracle_sql(),
+        # token ids are kept in ASCII range (32..121) so DuckDB's
+        # byte-based levenshtein over the chr()-mapped strings equals
+        # the code-point kernel over the raw int arrays
+        "seq_levenshtein":
+            "SELECT left_id, right_id, "
+            "CAST(levenshtein(s1, s2) AS BIGINT) AS seq_lev FROM ("
+            "SELECT a.doc_id AS left_id, b.doc_id AS right_id, "
+            + ", ".join(
+                "array_to_string(list_transform("
+                f"list_filter(string_split_regex({side}.text, '\\s+'), "
+                "t -> t != ''), "
+                "t -> chr(CAST((length(t) * 31 + ascii(substr(t, 1, 1))) "
+                f"% 90 + 32 AS INTEGER))), '') AS {out}"
+                for side, out in (("a", "s1"), ("b", "s2")))
+            + " FROM documents a JOIN documents b ON a.lang = b.lang "
+            "AND a.doc_id < b.doc_id "
+            "WHERE (a.doc_id + b.doc_id) % 23 = 0)",
         # --- LCS family: independent bit-parallel re-derivation in SQL ---
         "ratio":
             "SELECT c.c_custkey, s.s_suppkey, "

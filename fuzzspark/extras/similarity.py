@@ -18,7 +18,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_topk"]
+__all__ = ["cosine_topk", "lsh_cosine_topk", "ivf_topk", "train_centroids"]
 
 
 def _dot(a, b):
@@ -105,17 +105,50 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
             .select("query_id", "cand_id", "cos", "rank"))
 
 
+def train_centroids(embeddings: DataFrame, *, n_cells: int = 16,
+                    iters: int = 5, sample: int = 2048,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    seed: int = 99) -> np.ndarray:
+    """k-means-lite IVF codebook: deterministic bounded sample
+    (orderBy id, limit), seeded init from sample rows, a few Lloyd
+    iterations driver-side on the normalized sample.  The codebook is a
+    MODEL, so training on a bounded sample is the standard IVF recipe —
+    the data path (assignment + probe) stays fully distributed."""
+    pdf = (embeddings.select(id_col, emb_col).orderBy(id_col)
+           .limit(sample).toPandas())
+    mat = np.stack([np.asarray(e, dtype=np.float64) for e in pdf[emb_col]])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    rng = np.random.default_rng(seed)
+    n_cells = min(n_cells, len(mat))
+    cents = mat[rng.choice(len(mat), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
              dim: int, n_cells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", emb_col: str = "embedding",
-             query_id_col: str = "query_id", seed: int = 99) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest seeded random
+             query_id_col: str = "query_id", seed: int = 99,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest codebook
     centroid (one broadcast pass), probe the ``nprobe`` nearest cells
-    per query.  Centroids are deterministic unit Gaussians — a stand-in
-    for a trained codebook; the partition/probe plumbing is the point."""
-    rng = np.random.default_rng(seed)
-    cents = rng.standard_normal((n_cells, dim))
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    per query.  The codebook defaults to a k-means-lite model trained
+    on a deterministic sample of ``embeddings`` (``train_centroids``);
+    pass ``centroids`` to reuse a precomputed codebook."""
+    cents = centroids if centroids is not None else train_centroids(
+        embeddings, n_cells=n_cells, id_col=id_col, emb_col=emb_col,
+        seed=seed)
+    n_cells = len(cents)
 
     def assign_udf(top: int):
         @pandas_udf("array<int>")

@@ -37,7 +37,8 @@ def _to_nullable(out: np.ndarray) -> pd.Series:
 
 def scorer_udf(scorer: str, form: str = "normalized_similarity", *,
                score_cutoff: Optional[float] = None, weights=None,
-               pad: bool = True, prefix_weight: float = 0.1):
+               pad: bool = False, prefix_weight: float = 0.1,
+               score_hint: Optional[float] = None):
     """Vectorized pandas UDF ``(s1, s2) -> double`` (NULL = suppressed).
 
     Cutoff semantics follow the reference (src/common.rs:33-86): the
@@ -49,6 +50,7 @@ def scorer_udf(scorer: str, form: str = "normalized_similarity", *,
         raise ValueError(f"unknown scorer {scorer!r}; one of {SCORERS}")
     if form not in FORMS:
         raise ValueError(f"unknown form {form!r}; one of {FORMS}")
+    del score_hint  # reference API parity: a perf hint, accepted+ignored
     w = tuple(weights) if weights is not None else None
 
     @pandas_udf("double")
@@ -71,8 +73,10 @@ def _cached_udf(scorer, form, score_cutoff, weights, pad, prefix_weight):
 def scorer_column(scorer: str, s1: Column | str, s2: Column | str,
                   form: str = "normalized_similarity", *,
                   score_cutoff: Optional[float] = None, weights=None,
-                  pad: bool = True, prefix_weight: float = 0.1) -> Column:
+                  pad: bool = False, prefix_weight: float = 0.1,
+                  score_hint: Optional[float] = None) -> Column:
     """Convenience: a ready-to-select score column."""
+    del score_hint  # reference API parity: a perf hint, accepted+ignored
     udf = _cached_udf(scorer, form, score_cutoff,
                       tuple(weights) if weights else None, pad, prefix_weight)
     c1 = F.col(s1) if isinstance(s1, str) else s1

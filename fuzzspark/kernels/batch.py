@@ -59,13 +59,33 @@ _BITPAR_CORES = {
 }
 
 
+def _seq_to_str(seq) -> str:
+    """Injective map from an int sequence to a str so the code-point
+    kernels score generic sequences unchanged (the reference is generic
+    over hashable elements, src/lib.rs:146-148 / HashableChar impls
+    src/details/common.rs:29-37).  Every metric only tests element
+    EQUALITY, so any injective map preserves results; the surrogate
+    gap is skipped to keep every image a valid code point."""
+    try:
+        return "".join(
+            chr(v) if v < 0xD800 else chr(v + 0x800) for v in seq)
+    except (ValueError, OverflowError):
+        raise ValueError(
+            "sequence elements must be ints in [0, 1112063] "
+            "(code-point-mappable token ids)") from None
+
+
 def _clean(arr) -> list[Optional[str]]:
     out = []
     for v in arr:
         if v is None or (isinstance(v, float) and np.isnan(v)):
             out.append(None)
+        elif isinstance(v, str):
+            out.append(v)
+        elif isinstance(v, (list, tuple, np.ndarray)):
+            out.append(_seq_to_str(v))
         else:
-            out.append(v if isinstance(v, str) else str(v))
+            out.append(str(v))
     return out
 
 
@@ -222,7 +242,7 @@ def _partial_ratio_batch(pairs: list[tuple[str, str]]) -> np.ndarray:
 
 
 def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
-               weights=None, pad=True, prefix_weight=0.1,
+               weights=None, pad=False, prefix_weight=0.1,
                errors: str = "null") -> tuple[np.ndarray, np.ndarray]:
     """Exact raw canonical score per pair (distance for usize metrics,
     similarity for jaro family / composites).  Returns (raw, valid)."""
@@ -409,9 +429,17 @@ def _maximum_arr(scorer: str, s1, s2, idx, weights=None) -> np.ndarray:
 
 def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
                  score_cutoff: Optional[float] = None, weights=None,
-                 pad: bool = True, prefix_weight: float = 0.1,
-                 errors: str = "null") -> np.ndarray:
-    """Score a batch; returns float64 with NaN for NULL / suppressed."""
+                 pad: bool = False, prefix_weight: float = 0.1,
+                 errors: str = "null",
+                 score_hint: Optional[float] = None) -> np.ndarray:
+    """Score a batch; returns float64 with NaN for NULL / suppressed.
+
+    ``pad`` default False matches the reference hamming
+    ``Args::default()`` (NoPadding -> error on unequal lengths,
+    src/distance/hamming.rs:32-40); with ``errors='null'`` the error
+    becomes a NaN/NULL row.  ``score_hint`` is reference API parity
+    (a perf hint) — accepted and ignored."""
+    del score_hint  # parity no-op
     if form not in FORMS:
         raise ValueError(f"unknown form {form!r}")
     s1 = _clean(s1_arr)

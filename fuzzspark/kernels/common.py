@@ -133,25 +133,29 @@ def make_forms(distance_fn, maximum_fn, *, integral: bool = True):
     (uncut) distance; ``maximum_fn(len1, len2, **extra) -> number``.
 
     Returns ``(distance, similarity, normalized_distance,
-    normalized_similarity)`` — each accepting ``score_cutoff`` and the
-    kernel's ``**extra`` args, with reference cutoff semantics.
+    normalized_similarity)`` — each accepting ``score_cutoff``,
+    ``score_hint`` and the kernel's ``**extra`` args, with reference
+    cutoff semantics.  ``score_hint`` is reference API parity
+    (src/distance/levenshtein.rs:1069-1089): a pure performance hint
+    there; accepted and ignored here (our kernels pick band widths from
+    the cutoff directly).
     """
 
-    def distance(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def distance(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         raw = distance_fn(s1, s2, **extra)
         return apply_distance_cutoff(raw, score_cutoff)
 
-    def similarity(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def similarity(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = maximum - distance_fn(s1, s2, **extra)
         return apply_similarity_cutoff(raw, score_cutoff)
 
-    def normalized_distance(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def normalized_distance(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = norm_dist_from(distance_fn(s1, s2, **extra), maximum)
         return apply_distance_cutoff(raw, score_cutoff)
 
-    def normalized_similarity(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def normalized_similarity(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = 1.0 - norm_dist_from(distance_fn(s1, s2, **extra), maximum)
         return apply_similarity_cutoff(raw, score_cutoff)
@@ -163,21 +167,21 @@ def make_forms_from_similarity(similarity_fn, maximum_fn):
     """Same as :func:`make_forms` but for f64 similarity-canonical metrics
     (Jaro family; reference Metricf64, src/details/distance.rs:277-334)."""
 
-    def similarity(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def similarity(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         raw = similarity_fn(s1, s2, **extra)
         return apply_similarity_cutoff(raw, score_cutoff)
 
-    def distance(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def distance(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = maximum - similarity_fn(s1, s2, **extra)
         return apply_distance_cutoff(raw, score_cutoff)
 
-    def normalized_distance(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def normalized_distance(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = norm_dist_from(maximum - similarity_fn(s1, s2, **extra), maximum)
         return apply_distance_cutoff(raw, score_cutoff)
 
-    def normalized_similarity(s1: str, s2: str, *, score_cutoff=None, **extra):
+    def normalized_similarity(s1: str, s2: str, *, score_cutoff=None, score_hint=None, **extra):
         maximum = maximum_fn(len(s1), len(s2), **extra)
         raw = 1.0 - norm_dist_from(maximum - similarity_fn(s1, s2, **extra), maximum)
         return apply_similarity_cutoff(raw, score_cutoff)

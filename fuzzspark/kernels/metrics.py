@@ -168,10 +168,11 @@ def damerau_distance_raw(s1: str, s2: str) -> int:
     return d[m + 1][n + 1]
 
 
-def hamming_distance_raw(s1: str, s2: str, pad: bool = True) -> int:
+def hamming_distance_raw(s1: str, s2: str, pad: bool = False) -> int:
     """Positional mismatch count; overhang counts as mismatches when
     padded (src/distance/hamming.rs:138-161); unequal length without
-    pad raises (reference returns Err, :121-124)."""
+    pad raises (reference returns Err, :121-124).  Default pad=False
+    matches the reference ``Args::default()`` (hamming.rs:32-40)."""
     if len(s1) != len(s2) and not pad:
         raise HammingError("Differing length arguments provided")
     n = min(len(s1), len(s2))
@@ -297,7 +298,7 @@ damerau_levenshtein = _module(
     "damerau_levenshtein", damerau_distance_raw, _max_len)
 
 
-def _hamming_max(len1, len2, pad=True):
+def _hamming_max(len1, len2, pad=False):
     return max(len1, len2)
 
 

@@ -306,24 +306,25 @@ def test_jw_prefix_boost():
 
 
 # ---------------------------------------------------------- large inputs
-OCR_PATH = "/root/reference/src/distance/example/ocr.rs"
+# vendored from the reference's example data file
+# (src/distance/example/ocr.rs — two OCR byte sequences, MIT/Apache
+# licensed test data), gzip-packed so this test runs without
+# /root/reference present: tools/vendor_ocr_fixture.py regenerates it.
+OCR_VENDORED = __import__("os").path.join(
+    __import__("os").path.dirname(__file__), "data", "ocr_fixture.bin.gz")
 
 
-@pytest.mark.skipif(not __import__("os").path.exists(OCR_PATH),
-                    reason="reference OCR fixture not present")
 def test_levenshtein_large_band_ocr():
     """Large-input sanity point (src/distance/levenshtein.rs:2140-2162):
     distance between the 106,514- and 107,244-element OCR sequences is
-    5,278; cutoff 2500 suppresses it.  Sequences parsed from the
-    reference's test-data file and mapped byte -> code point."""
-    import re
-    src = open(OCR_PATH).read()
-    arrays = []
-    for m in re.finditer(r"\[u8; \d+\] = \[(.*?)\];", src, re.S):
-        arrays.append("".join(chr(int(x)) for x in
-                              re.findall(r"\d+", m.group(1))))
-    assert len(arrays) == 2
-    s1, s2 = arrays
+    5,278; cutoff 2500 suppresses it.  Bytes mapped to code points."""
+    import gzip
+    import struct
+    with gzip.open(OCR_VENDORED, "rb") as f:
+        payload = f.read()
+    n1, n2 = struct.unpack("<II", payload[:8])
+    s1 = payload[8:8 + n1].decode("latin-1")
+    s2 = payload[8 + n1:8 + n1 + n2].decode("latin-1")
     assert (len(s1), len(s2)) == (106514, 107244)
     assert levenshtein.distance(s1, s2) == 5278
     assert levenshtein.distance(s1, s2, score_cutoff=2500) is None

@@ -193,3 +193,106 @@ def test_langid_col_matches_udf(spark):
     bad = out.where((F.col("jvm") != F.col("py"))
                     | F.col("jvm").isNull() | F.col("py").isNull()).collect()
     assert not bad, bad
+
+
+# ---------------------------------------------------------------------------
+# 5. generic sequence inputs (array<int>)
+# ---------------------------------------------------------------------------
+
+def test_seq_inputs_match_string_path():
+    """int sequences score identically to the equivalent strings (the
+    kernels only test element equality; reference generics
+    src/lib.rs:146-148)."""
+    s1, s2 = "kitten", "sitting"
+    a1 = [ord(c) for c in s1]
+    a2 = [ord(c) for c in s2]
+    for scorer, form in (("levenshtein", "distance"), ("ratio",
+                                                       "normalized_similarity"),
+                         ("osa", "distance"), ("jaro", "similarity")):
+        got = batch_scores(scorer, form, np.array([a1], dtype=object),
+                           np.array([a2], dtype=object))
+        want = batch_scores(scorer, form, np.array([s1]), np.array([s2]))
+        assert got[0] == want[0], (scorer, form)
+
+
+def test_seq_inputs_large_token_ids():
+    # ids above the surrogate gap still work (injective map)
+    a1 = [100_000, 200_000, 300_000]
+    a2 = [100_000, 999, 300_000]
+    got = batch_scores("levenshtein", "distance",
+                       np.array([a1], dtype=object),
+                       np.array([a2], dtype=object))
+    assert got[0] == 1.0
+
+
+def test_seq_inputs_out_of_range_raises():
+    with pytest.raises(ValueError):
+        batch_scores("levenshtein", "distance",
+                     np.array([[-1]], dtype=object),
+                     np.array([[2]], dtype=object))
+
+
+def test_score_hint_accepted_everywhere():
+    from fuzzspark.kernels.metrics import levenshtein, jaro_winkler
+    assert levenshtein.distance("abc", "abd", score_hint=1) == 1
+    assert jaro_winkler.similarity("abc", "abc", score_hint=0.9) == 1.0
+    out = batch_scores("ratio", "normalized_similarity",
+                       np.array(["ab"]), np.array(["ab"]), score_hint=0.5)
+    assert out[0] == 1.0
+
+
+def test_hamming_default_is_nopad():
+    """reference Args::default() = NoPadding -> Err on unequal lengths
+    (src/distance/hamming.rs:32-40)."""
+    from fuzzspark.kernels.metrics import HammingError, hamming
+    assert hamming.distance("abc", "abd") == 1
+    with pytest.raises(HammingError):
+        hamming.distance("ham", "hamming")
+    # batch default: unequal-length rows become NaN under errors='null'
+    out = batch_scores("hamming", "distance",
+                       np.array(["ham", "abc"]), np.array(["hamming", "abd"]))
+    assert np.isnan(out[0]) and out[1] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# 6. ANN: LSH recall on planted neighbors, trained IVF codebook
+# ---------------------------------------------------------------------------
+
+def _planted(spark, n=100, dim=32, noise=0.1, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n, dim))
+    pert = base + noise * rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)] + \
+           [(n + i, pert[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+
+
+def test_lsh_recall_on_planted_neighbors(spark):
+    """each base vector's true nearest neighbor is its perturbed copy;
+    the LSH driver-query parameters must find >= 90% of them."""
+    from pyspark.sql import functions as F
+    from fuzzspark.extras.similarity import lsh_cosine_topk
+    n = 100
+    e = _planted(spark, n=n)
+    q = e.where(F.col("vec_id") < n) \
+         .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = lsh_cosine_topk(e, q, k=1, dim=32, n_bands=16, bits_per_band=6)
+    hits = out.where(F.col("cand_id") == F.col("query_id") + n).count()
+    assert hits >= 0.9 * n, f"recall {hits}/{n}"
+
+
+def test_ivf_trained_codebook_recall(spark):
+    from pyspark.sql import functions as F
+    from fuzzspark.extras.similarity import ivf_topk, train_centroids
+    n = 100
+    e = _planted(spark, n=n, seed=9)
+    cents = train_centroids(e, n_cells=8)
+    assert cents.shape == (8, 32)
+    # centroids are unit-norm and distinct
+    assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+    q = e.where(F.col("vec_id") < n) \
+         .select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(e, q, k=1, dim=32, n_cells=8, nprobe=3)
+    hits = out.where(F.col("cand_id") == F.col("query_id") + n).count()
+    # base and its perturbed copy land in the same/nearby cell
+    assert hits >= 0.85 * n, f"recall {hits}/{n}"
