@@ -402,6 +402,22 @@ def q_partial_ratio(spark, sf_dir):
         .select("left_key", "right_key", "pr")
 
 
+def q_event_windows(spark, sf_dir):
+    """Event-time tumbling-window aggregation over the events table
+    (the batch twin of the streaming windowed-agg path): per 1-hour
+    window x event_type — counts, distinct users, value sum, and a
+    props-extracted mean.  Catalyst-native; exactly SQL-expressible."""
+    e = _t(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r"(\d+)", 1).cast("int")
+    return (e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value"),
+                 F.round(F.avg(k), 6).alias("avg_k"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "n_users", "sum_value", "avg_k"))
+
+
 def q_langid(spark, sf_dir):
     """Full language-ID argmax (Catalyst-native, no UDF) — exactly
     SQL-expressible, so the whole heuristic gets a DuckDB oracle."""
@@ -443,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "langid_hits": q_langid_hits,
         "langid": q_langid,
+        "event_windows": q_event_windows,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -686,6 +703,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
         "langid": _langid_oracle_sql(),
+        "event_windows":
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "ROUND(sum(value), 4) AS sum_value, "
+            "ROUND(avg(CAST(regexp_extract(props, '(\\d+)', 1) AS INT)), 6) "
+            "AS avg_k FROM events GROUP BY 1, 2",
         # token ids are kept in ASCII range (32..121) so DuckDB's
         # byte-based levenshtein over the chr()-mapped strings equals
         # the code-point kernel over the raw int arrays

@@ -53,7 +53,11 @@ def main() -> None:
     warm.withColumn("r", scorer_column("ratio", "s1", "s2")) \
         .agg(F.sum("r")).collect()
 
-    # 1. flagship scorer throughput: ratio over blocked document pairs
+    # 1. flagship scorer throughput: ratio over blocked document pairs.
+    # pairs_per_sec keeps the round-1 methodology (first/cold run);
+    # the warm re-run reports steady-state throughput with the scan
+    # cache + python workers hot (host noise on this VM is documented
+    # at +/-40% — BENCH_SCALING.md)
     def _ratio():
         df = em.q_ratio_docs(spark, SF_DIR)
         return df.count()
@@ -61,6 +65,11 @@ def main() -> None:
     n_pairs = timed("ratio_pairs", _ratio)
     extras["scored_pairs"] = n_pairs
     extras["pairs_per_sec"] = round(n_pairs / timings["ratio_pairs"], 1)
+    t0 = time.time()
+    _ratio()  # warm re-run: NOT in the headline total (extras only)
+    extras["ratio_pairs_warm_sec"] = round(time.time() - t0, 3)
+    extras["pairs_per_sec_warm"] = round(
+        n_pairs / extras["ratio_pairs_warm_sec"], 1)
 
     # 2. short-string scorers over name pairs
     timed("levenshtein_pairs", lambda: em.q_levenshtein(spark, SF_DIR).count())
@@ -77,6 +86,10 @@ def main() -> None:
         return out["clusters"].count()
 
     timed("linkage_pipeline", _pipeline)
+    t0 = time.time()
+    _pipeline()  # noise probe: NOT in the headline total (extras only);
+    # this VM's documented host-noise band is wide (BENCH_SCALING.md)
+    extras["linkage_pipeline_rerun_sec"] = round(time.time() - t0, 3)
 
     # 4. training-data extras
     timed("minhash_candidates",

@@ -42,14 +42,25 @@ def _score_histogram(df: DataFrame, col: str, bins: int = 20):
 
 @dataclass
 class StageRunner:
+    """``table_format`` is the pluggable DataSource seam: any path-based
+    columnar format Spark knows (parquet default, orc tested, iceberg in
+    a deployment with the runtime jar + catalog — same API shape,
+    ``format("iceberg")``)."""
     spark: SparkSession
     root: str
     params: dict = field(default_factory=dict)
     stages_run: list = field(default_factory=list)
     stages_skipped: list = field(default_factory=list)
+    table_format: str = "parquet"
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def _write(self, df: DataFrame, out_dir: str) -> None:
+        df.write.mode("overwrite").format(self.table_format).save(out_dir)
+
+    def _read(self, out_dir: str) -> DataFrame:
+        return self.spark.read.format(self.table_format).load(out_dir)
 
     def manifest_path(self, stage: str) -> str:
         return os.path.join(self._dir(stage), MANIFEST)
@@ -71,13 +82,13 @@ class StageRunner:
         out_dir = self._dir(stage)
         if self.is_complete(stage):
             self.stages_skipped.append(stage)
-            return self.spark.read.parquet(out_dir)
+            return self._read(out_dir)
         t0 = time.time()
         df = build()
         if repartition:
             df = df.repartition(repartition)
-        df.write.mode("overwrite").parquet(out_dir)
-        persisted = self.spark.read.parquet(out_dir)
+        self._write(df, out_dir)
+        persisted = self._read(out_dir)
         # one pass: per-partition rows; total derived from the sum
         part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
                        .count().collect())

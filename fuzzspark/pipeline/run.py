@@ -38,6 +38,9 @@ class LinkageConfig:
     # finish CC driver-side once the contracted edge set is this small
     # (0 = fully-distributed fixpoint)
     cc_driver_finish: int = 1_000_000
+    # stage-storage DataSource format (parquet/orc/...; "iceberg" with
+    # the runtime jar + catalog configured)
+    table_format: str = "parquet"
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -51,7 +54,8 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     ``files`` must have columns (id, repo, path, commit, lang, content).
     """
     cfg = config or LinkageConfig()
-    runner = StageRunner(spark, workdir, params=cfg.as_dict())
+    runner = StageRunner(spark, workdir, params=cfg.as_dict(),
+                         table_format=cfg.table_format)
 
     def widen(df: DataFrame) -> DataFrame:
         """Guarantee a UDF-heavy stage gets enough tasks even when its

@@ -1,0 +1,40 @@
+"""StageRunner's table_format seam: the pipeline's stage storage is a
+pluggable path-based DataSource.  Proven with ORC (a second real
+columnar format shipped with Spark); the Iceberg case exercises the
+identical code path and is skipped when the runtime jar/catalog is
+absent (as in this sandbox)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fuzzspark.pipeline import LinkageConfig, corpus_to_spark, generate_corpus, run_pipeline
+
+
+def test_pipeline_runs_on_orc(spark, tmp_path):
+    corpus = generate_corpus(n_clusters=15, seed=77, threshold=0.9)
+    files, _labeled, _truth = corpus_to_spark(spark, corpus)
+    cfg = LinkageConfig(threshold=0.9, table_format="orc")
+    out = run_pipeline(spark, files, str(tmp_path / "wd"), cfg)
+    assert out["clusters"].count() == files.count()
+    # stage dirs actually hold ORC files
+    scores_dir = str(tmp_path / "wd" / "04_scores")
+    assert any(f.endswith(".orc") for f in os.listdir(scores_dir)), \
+        os.listdir(scores_dir)
+    # resume works through the same format seam
+    out2 = run_pipeline(spark, files, str(tmp_path / "wd"), cfg)
+    assert len(out2["runner"].stages_skipped) == 5
+
+
+def test_pipeline_iceberg_seam(spark, tmp_path):
+    """Same StageRunner API with format('iceberg'); requires the
+    iceberg-spark-runtime jar + a configured catalog, absent here."""
+    jars = spark.sparkContext.getConf().get("spark.jars", "") or ""
+    if "iceberg" not in jars.lower():
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    corpus = generate_corpus(n_clusters=5, seed=78, threshold=0.9)
+    files, _labeled, _truth = corpus_to_spark(spark, corpus)
+    cfg = LinkageConfig(threshold=0.9, table_format="iceberg")
+    out = run_pipeline(spark, files, str(tmp_path / "wd"), cfg)
+    assert out["clusters"].count() == files.count()
