@@ -178,7 +178,7 @@ def q_postfix(spark, sf_dir):
 
 def q_ratio(spark, sf_dir):
     # short name pairs so the DuckDB bit-parallel LCS oracle (BIGINT bit
-    # ops need pattern <= 63 chars) can hash-check the exact semantics;
+    # ops need pattern <= 62 chars) can hash-check the exact semantics;
     # long-string coverage lives in the golden pytest suite + bench
     p = _name_pairs(spark, sf_dir)
     return _scored(p, "ratio", "normalized_similarity", "ratio",
@@ -479,14 +479,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # re-derives it INDEPENDENTLY inside DuckDB SQL: Hyyrö's bit-parallel
 # LCS fold (public algorithm, same one the reference implements in
 # src/distance/lcs_seq.rs:199-341) over BIGINT bit ops via list_reduce.
-# Valid for patterns <= 63 chars — which is why these queries run over
+# Valid for patterns <= 62 chars (longer errors loudly) — hence these run over
 # the short name/part columns.  OSA gets the same treatment with the
 # full (vp, vn, d0, pm_prev, dist) state carried through a struct fold.
 
 
 def _sql_lcs(pat: str, txt: str) -> str:
     """DuckDB expression: LCS length of ``pat``/``txt`` varchar
-    expressions (``pat`` must be <= 63 chars; ASCII-safe)."""
+    expressions (``pat`` must be <= 62 chars — a 63-bit shift overflows BIGINT loudly; ASCII-safe)."""
     pm = (f"coalesce(list_sum([CASE WHEN ascii(substr({pat}, i, 1)) = c "
           f"THEN (1::BIGINT << (i-1)) ELSE 0 END "
           f"FOR i IN range(1, length({pat}) + 1)]), 0)")
