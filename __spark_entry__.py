@@ -418,6 +418,18 @@ def q_event_windows(spark, sf_dir):
                     "n_events", "n_users", "sum_value", "avg_k"))
 
 
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing end-to-end: manufacture a binary media table
+    (blob = utf-8 bytes, typed meta), run the mapInPandas feature
+    extractor, return the SQL-expressible metadata columns (the decode
+    step itself is the documented deterministic stub; the Arrow batch
+    shape / schema / partitioning exercised here are the real path)."""
+    from fuzzspark.extras.multimodal import extract_features, text_as_media
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(text_as_media(d))
+    return feats.select("id", "kind", "blob_sha", "n_bytes")
+
+
 def q_langid(spark, sf_dir):
     """Full language-ID argmax (Catalyst-native, no UDF) — exactly
     SQL-expressible, so the whole heuristic gets a DuckDB oracle."""
@@ -460,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_hits": q_langid_hits,
         "langid": q_langid,
         "event_windows": q_event_windows,
+        "multimodal_meta": q_multimodal_meta,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -703,6 +716,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
         "langid": _langid_oracle_sql(),
+        # driver text is ASCII, so length(text) = byte length of the blob
+        "multimodal_meta":
+            "SELECT doc_id AS id, "
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END AS kind, "
+            "sha256(text) AS blob_sha, "
+            "CAST(length(text) AS BIGINT) AS n_bytes FROM documents",
         "event_windows":
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "CAST(count(*) AS BIGINT) AS n_events, "

@@ -123,28 +123,45 @@ static inline const uint64_t *pm_get(const PM *pm, uint32_t c) {
 
 /* ---------------- LCS (Hyyrö bit-parallel, blocked) ---------------- */
 
+/* min_lcs < 0: no bound.  min_lcs >= 0: early-abandon when even
+ * matching every remaining text char cannot reach min_lcs; returns -1
+ * (caller treats as "provably below the cutoff").  This is the
+ * cutoff-driven kernel narrowing of the reference (its banded kernels,
+ * src/distance/lcs_seq.rs:267-341) in abandonment form. */
 static int64_t lcs_one(const uint32_t *pat, int64_t m,
                        const uint32_t *txt, int64_t n,
-                       uint64_t *S /* scratch words */, const PM *pm) {
+                       uint64_t *S /* scratch words */, const PM *pm,
+                       int64_t min_lcs) {
     int64_t words = (m + 63) >> 6;
     for (int64_t k = 0; k < words; k++) S[k] = ~0ull;
     uint64_t top = (m & 63) ? ((1ull << (m & 63)) - 1ull) : ~0ull;
     S[words - 1] = top;
     for (int64_t j = 0; j < n; j++) {
         const uint64_t *M = pm_get(pm, txt[j]);
-        if (!M) continue;          /* u = 0 everywhere -> S unchanged */
-        uint64_t carry = 0;
-        for (int64_t k = 0; k < words; k++) {
-            uint64_t Sk = S[k];
-            uint64_t u = Sk & M[k];
-            uint64_t t = Sk + u;
-            uint64_t c1 = t < Sk;
-            uint64_t t2 = t + carry;
-            uint64_t c2 = t2 < t;
-            S[k] = t2 | (Sk - u);
-            carry = c1 | c2;
+        if (M) {
+            uint64_t carry = 0;
+            for (int64_t k = 0; k < words; k++) {
+                uint64_t Sk = S[k];
+                uint64_t u = Sk & M[k];
+                uint64_t t = Sk + u;
+                uint64_t c1 = t < Sk;
+                uint64_t t2 = t + carry;
+                uint64_t c2 = t2 < t;
+                S[k] = t2 | (Sk - u);
+                carry = c1 | c2;
+            }
+            S[words - 1] &= top;
         }
-        S[words - 1] &= top;
+        if (min_lcs >= 0 && (j & 63) == 63) {
+            int64_t ones = 0;
+            for (int64_t k = 0; k < words; k++)
+                ones += __builtin_popcountll(S[k]);
+            int64_t matched = m - ones;      /* zeros of S = matches */
+            int64_t room = m - matched;
+            int64_t rem = n - j - 1;
+            int64_t max_final = matched + (rem < room ? rem : room);
+            if (max_final < min_lcs) return -1;
+        }
     }
     int64_t zeros = 0;
     for (int64_t k = 0; k < words; k++)
@@ -155,9 +172,13 @@ static int64_t lcs_one(const uint32_t *pat, int64_t m,
 
 /* ------------- Levenshtein (Myers 1999, blocked words) -------------- */
 
+/* max_dist < 0: no bound.  Final dist >= dist_now - remaining (each
+ * text char moves the last-row value by at most 1), so abandon once
+ * that lower bound exceeds max_dist; returns -1. */
 static int64_t lev_one(const uint32_t *pat, int64_t m,
                        const uint32_t *txt, int64_t n,
-                       uint64_t *VP, uint64_t *VN, const PM *pm) {
+                       uint64_t *VP, uint64_t *VN, const PM *pm,
+                       int64_t max_dist) {
     int64_t words = (m + 63) >> 6;
     for (int64_t k = 0; k < words; k++) { VP[k] = ~0ull; VN[k] = 0; }
     uint64_t top = (m & 63) ? ((1ull << (m & 63)) - 1ull) : ~0ull;
@@ -195,6 +216,7 @@ static int64_t lev_one(const uint32_t *pat, int64_t m,
         }
         VP[words - 1] &= top;
         VN[words - 1] &= top;
+        if (max_dist >= 0 && dist - (n - j - 1) > max_dist) return -1;
     }
     return dist;
 }
@@ -204,7 +226,7 @@ static int64_t lev_one(const uint32_t *pat, int64_t m,
 static int64_t osa_one(const uint32_t *pat, int64_t m,
                        const uint32_t *txt, int64_t n,
                        uint64_t *VP, uint64_t *VN, uint64_t *D0v,
-                       uint64_t *PMprev, const PM *pm) {
+                       uint64_t *PMprev, const PM *pm, int64_t max_dist) {
     int64_t words = (m + 63) >> 6;
     for (int64_t k = 0; k < words; k++) {
         VP[k] = ~0ull; VN[k] = 0; D0v[k] = 0; PMprev[k] = 0;
@@ -246,6 +268,7 @@ static int64_t osa_one(const uint32_t *pat, int64_t m,
         VP[words - 1] &= top;
         VN[words - 1] &= top;
         D0v[words - 1] &= top;
+        if (max_dist >= 0 && dist - (n - j - 1) > max_dist) return -1;
     }
     return dist;
 }
@@ -267,11 +290,17 @@ static int64_t max_words(const int64_t *off, int64_t n_pairs) {
 /* kind: 0 = lcs similarity, 1 = levenshtein distance, 2 = osa distance.
  * Common-affix stripping happens HERE (memory-speed scans), so callers
  * pass raw pairs: LCS gets the affix added back, the distances are
- * invariant under stripping (src/details/common.rs:79-108 analog). */
-int batch_metric(int kind,
-                 const uint32_t *pat, const int64_t *pat_off,
-                 const uint32_t *txt, const int64_t *txt_off,
-                 int64_t n_pairs, int64_t *out) {
+ * invariant under stripping (src/details/common.rs:79-108 analog).
+ *
+ * bounds (may be NULL): per-pair cutoff-derived early-abandon bound —
+ * for LCS the MINIMUM similarity that can still pass, for distances
+ * the MAXIMUM passing distance; -1 = none.  Abandoned pairs come back
+ * as -1 ("provably suppressed") and never as a wrong score. */
+int batch_metric_bounded(int kind,
+                         const uint32_t *pat, const int64_t *pat_off,
+                         const uint32_t *txt, const int64_t *txt_off,
+                         int64_t n_pairs, int64_t *out,
+                         const int64_t *bounds) {
     int64_t mw = max_words(pat_off, n_pairs);
     int64_t max_m = 1;
     for (int64_t i = 0; i < n_pairs; i++) {
@@ -323,15 +352,29 @@ int batch_metric(int kind,
             pm_build(&pm, &ar, ps, ms, (ms + 63) >> 6);
             have_pm = 1; last_pat = ps; last_m = ms;
         }
-        if (kind == 0)
-            out[i] = lcs_one(ps, ms, ts, ns, s1, &pm) + pre + suf;
-        else if (kind == 1)
-            out[i] = lev_one(ps, ms, ts, ns, s1, s2, &pm);
-        else
-            out[i] = osa_one(ps, ms, ts, ns, s1, s2, s3, s4, &pm);
+        int64_t bound = bounds ? bounds[i] : -1;
+        if (kind == 0) {
+            /* the affix is always part of the LCS: bound moves inward */
+            int64_t mb = (bound >= 0 && bound - pre - suf > 0)
+                         ? bound - pre - suf : -1;
+            int64_t r = lcs_one(ps, ms, ts, ns, s1, &pm, mb);
+            out[i] = (r < 0) ? -1 : r + pre + suf;
+        } else if (kind == 1) {
+            out[i] = lev_one(ps, ms, ts, ns, s1, s2, &pm, bound);
+        } else {
+            out[i] = osa_one(ps, ms, ts, ns, s1, s2, s3, s4, &pm, bound);
+        }
     }
     free(s1); free(s2); free(s3); free(s4); arena_free(&ar);
     return 0;
+}
+
+int batch_metric(int kind,
+                 const uint32_t *pat, const int64_t *pat_off,
+                 const uint32_t *txt, const int64_t *txt_off,
+                 int64_t n_pairs, int64_t *out) {
+    return batch_metric_bounded(kind, pat, pat_off, txt, txt_off,
+                                n_pairs, out, NULL);
 }
 
 /* partial_ratio support: out[i] = max over all length-m windows of txt
@@ -370,7 +413,7 @@ int batch_partial_lcs(const uint32_t *pat, const int64_t *pat_off,
         }
         int64_t best = 0;
         for (int64_t start = 0; start + m <= n; start++) {
-            int64_t l = lcs_one(p, m, t + start, m, S, &pm);
+            int64_t l = lcs_one(p, m, t + start, m, S, &pm, -1);
             if (l > best) {
                 best = l;
                 if (best == m) break;

@@ -93,6 +93,10 @@ def get_lib():
             ctypes.c_int64,
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
+        lib.batch_metric_bounded.restype = ctypes.c_int
+        lib.batch_metric_bounded.argtypes = \
+            lib.batch_metric.argtypes + [
+                np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
         lib.batch_jaro.restype = ctypes.c_int
         lib.batch_jaro.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -138,18 +142,26 @@ def _flatten(strs: list[str]):
     return np.ascontiguousarray(codes), off
 
 
-def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str]
-                 ) -> np.ndarray | None:
+def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str],
+                 bounds: np.ndarray | None = None) -> np.ndarray | None:
     """Batch metric via the native kernel, or None if unavailable.
-    kind 0: LCS similarity; 1: levenshtein distance; 2: OSA distance."""
+    kind 0: LCS similarity; 1: levenshtein distance; 2: OSA distance.
+    ``bounds`` (optional int64, -1 = none): per-pair early-abandon
+    bound (min passing LCS / max passing distance); abandoned pairs
+    return -1 (provably outside the cutoff)."""
     lib = get_lib()
     if lib is None or not pat_strs:
         return None if lib is None else np.zeros(0, dtype=np.int64)
     pat, pat_off = _flatten(pat_strs)
     txt, txt_off = _flatten(txt_strs)
     out = np.empty(len(pat_strs), dtype=np.int64)
-    rc = lib.batch_metric(kind, pat, pat_off, txt, txt_off,
-                          len(pat_strs), out)
+    if bounds is None:
+        rc = lib.batch_metric(kind, pat, pat_off, txt, txt_off,
+                              len(pat_strs), out)
+    else:
+        rc = lib.batch_metric_bounded(
+            kind, pat, pat_off, txt, txt_off, len(pat_strs), out,
+            np.ascontiguousarray(bounds, dtype=np.int64))
     if rc != 0:  # pragma: no cover (allocation failure)
         return None
     return out

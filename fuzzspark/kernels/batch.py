@@ -112,10 +112,12 @@ def _factorize(strs: list[str]) -> tuple[np.ndarray, int]:
     return gids, len(seen)
 
 
-def _native_reordered(kind_fn, pat: list[str], txt: list[str]):
+def _native_reordered(kind_fn, pat: list[str], txt: list[str], aux=None):
     """Call a native batch kernel with pairs grouped by pattern content
     when duplicates exist (so the C mask reuse fires), else in natural
-    order.  Returns results in natural order, or None w/o a compiler."""
+    order.  ``aux`` (optional int64 array, e.g. per-pair bounds) is
+    reordered alongside.  Returns results in natural order, or None w/o
+    a compiler."""
     n = len(pat)
     # cheap probe: if a prefix sample is all-distinct, assume the batch
     # is too and skip the full factorize + sort (correct either way —
@@ -123,25 +125,34 @@ def _native_reordered(kind_fn, pat: list[str], txt: list[str]):
     probe = min(n, 512)
     gids, n_distinct = _factorize(pat[:probe])
     if n_distinct == probe and probe < n:
-        return kind_fn(pat, txt)
+        return kind_fn(pat, txt, aux)
     if probe < n:
         gids, n_distinct = _factorize(pat)
     if n_distinct < 0.9 * n:
         order = np.argsort(gids, kind="stable")
-        got = kind_fn([pat[k] for k in order], [txt[k] for k in order])
+        got = kind_fn([pat[k] for k in order], [txt[k] for k in order],
+                      None if aux is None else aux[order])
         if got is None:
             return None
         out = np.empty(n, dtype=np.int64)
         out[order] = got
         return out
-    return kind_fn(pat, txt)
+    return kind_fn(pat, txt, aux)
 
 
-def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndarray:
+def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]],
+                             bounds: Optional[np.ndarray] = None
+                             ) -> np.ndarray:
     """Exact full-string metric for levenshtein/lcs(core=similarity)/osa
     over many RAW pairs: for 'lcs_seq' the LCS length of the pair, else
     the distance.  Common-affix stripping happens inside the kernels
     (C path) or here (fallback) — callers pass unstripped strings.
+
+    ``bounds`` (int64, -1 = none): cutoff-derived early-abandon bound
+    per pair (min passing LCS / max passing distance).  Native-path
+    pairs that provably cannot pass come back as -1; callers' cutoff
+    algebra turns -1 into suppression.  The fallback path ignores
+    bounds (computes exactly — identical observable results).
 
     Fast path: the compiled batch kernel (_native.c) when a compiler is
     available; else numpy across-pair uint64 lanes for short patterns
@@ -153,8 +164,9 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
         pat = [a if len(a) <= len(b) else b for a, b in pairs]
         txt = [b if len(a) <= len(b) else a for a, b in pairs]
         got = _native_reordered(
-            lambda p, t: _native.native_batch(_NATIVE_KIND[kind], p, t),
-            pat, txt)
+            lambda p, t, bd: _native.native_batch(
+                _NATIVE_KIND[kind], p, t, bounds=bd),
+            pat, txt, aux=bounds)
         if got is not None:
             return got
     scalar_core, np_core = _BITPAR_CORES[kind]
@@ -209,14 +221,25 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]]) -> np.ndar
     return out
 
 
-def _ratio_sims(pairs: list[tuple[str, str]]) -> np.ndarray:
-    """indel normalized_similarity (= fuzz.ratio) per raw pair."""
+def _ratio_sims(pairs: list[tuple[str, str]],
+                sim_cutoff: Optional[float] = None) -> np.ndarray:
+    """indel normalized_similarity (= fuzz.ratio) per raw pair.
+
+    ``sim_cutoff`` drives kernel-level early abandonment: a pair passes
+    iff 2*LCS/total >= cutoff, i.e. LCS >= ceil(cutoff*total/2 - eps);
+    abandoned pairs (-1 from the kernel) yield a NEGATIVE similarity,
+    which the caller's final cutoff comparison suppresses — exactly the
+    rows full computation would have suppressed."""
     n = len(pairs)
     if not n:
         return np.zeros(0)
     total = np.fromiter((len(a) + len(b) for a, b in pairs),
                         dtype=np.int64, count=n)
-    lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+    bounds = None
+    if sim_cutoff is not None and sim_cutoff > 0:
+        min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
+        bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
+    lcs_full = _bitpar_family_distances("lcs_seq", pairs, bounds=bounds)
     dist = total - 2 * lcs_full
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(total == 0, 1.0,
@@ -230,7 +253,9 @@ def _partial_ratio_batch(pairs: list[tuple[str, str]]) -> np.ndarray:
     shorter = [a if len(a) <= len(b) else b for a, b in pairs]
     longer = [b if len(a) <= len(b) else a for a, b in pairs]
     if _native.get_lib() is not None and n:
-        got = _native_reordered(_native.native_partial_lcs, shorter, longer)
+        got = _native_reordered(
+            lambda p, t, _a: _native.native_partial_lcs(p, t),
+            shorter, longer)
         if got is not None:
             m = np.fromiter((len(s) for s in shorter), np.int64, count=n)
             nl = np.fromiter((len(s) for s in longer), np.int64, count=n)
@@ -243,19 +268,58 @@ def _partial_ratio_batch(pairs: list[tuple[str, str]]) -> np.ndarray:
 
 def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                weights=None, pad=False, prefix_weight=0.1,
-               errors: str = "null") -> tuple[np.ndarray, np.ndarray]:
+               errors: str = "null", form: Optional[str] = None,
+               score_cutoff: Optional[float] = None
+               ) -> tuple[np.ndarray, np.ndarray]:
     """Exact raw canonical score per pair (distance for usize metrics,
-    similarity for jaro family / composites).  Returns (raw, valid)."""
+    similarity for jaro family / composites).  Returns (raw, valid).
+
+    ``form``/``score_cutoff`` feed kernel-level early abandonment on the
+    high-traffic paths (ratio-family similarity cutoffs, lev/osa
+    distance cutoffs): abandoned pairs surface as values the final
+    cutoff comparison provably suppresses — observable results are
+    identical to full computation."""
     n = len(s1)
     raw = np.full(n, np.nan)
     idx = np.flatnonzero(valid)
 
+    def _dist_bounds():
+        if form == "distance" and score_cutoff is not None:
+            return np.full(len(idx), int(np.floor(score_cutoff)),
+                           dtype=np.int64)
+        return None
+
+    def _fix_abandoned(got: np.ndarray) -> np.ndarray:
+        vals = got.astype(np.float64)
+        if score_cutoff is not None:
+            vals[got < 0] = np.floor(score_cutoff) + 1.0
+        return vals
+
     if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
-        raw[idx] = _bitpar_family_distances(
-            "levenshtein", [(s1[k], s2[k]) for k in idx])
+        got = _bitpar_family_distances(
+            "levenshtein", [(s1[k], s2[k]) for k in idx],
+            bounds=_dist_bounds())
+        raw[idx] = _fix_abandoned(got)
     elif scorer == "levenshtein":
-        for k in idx:
-            raw[k] = levenshtein_distance_raw(s1[k], s2[k], tuple(weights))
+        # batch-level weight reductions (src/distance/levenshtein.rs
+        # :1244-1279): uniform-x-factor and indel-x-factor ride the
+        # batched bit-parallel kernels; only truly generic weights pay
+        # the per-pair Wagner-Fischer DP
+        ins, dele, sub = tuple(weights)
+        pairs = [(s1[k], s2[k]) for k in idx]
+        if ins == dele and ins == 0:
+            raw[idx] = 0.0
+        elif ins == dele and sub == ins:
+            raw[idx] = _bitpar_family_distances("levenshtein", pairs) * ins
+        elif ins == dele and sub >= ins + dele:
+            total = np.fromiter((len(a) + len(b) for a, b in pairs),
+                                dtype=np.int64, count=len(pairs))
+            lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+            raw[idx] = (total - 2 * lcs_full) * ins
+        else:
+            for k in idx:
+                raw[k] = levenshtein_distance_raw(s1[k], s2[k],
+                                                  tuple(weights))
     elif scorer in ("indel", "lcs_seq", "ratio", "token_sort_ratio"):
         if scorer == "token_sort_ratio":
             pairs = [(" ".join(sorted(s1[k].split())), " ".join(sorted(s2[k].split())))
@@ -263,7 +327,9 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         else:
             pairs = [(s1[k], s2[k]) for k in idx]
         if scorer in ("ratio", "token_sort_ratio"):
-            raw[idx] = _ratio_sims(pairs)
+            sim_cut = (score_cutoff
+                       if form == "normalized_similarity" else None)
+            raw[idx] = _ratio_sims(pairs, sim_cutoff=sim_cut)
         else:
             lens = np.array([[len(a), len(b)] for a, b in pairs],
                             dtype=np.int64).reshape(-1, 2)
@@ -273,8 +339,9 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             else:  # lcs_seq: canonical raw = distance = max(len) - lcs
                 raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
     elif scorer == "osa":
-        raw[idx] = _bitpar_family_distances(
-            "osa", [(s1[k], s2[k]) for k in idx])
+        got = _bitpar_family_distances(
+            "osa", [(s1[k], s2[k]) for k in idx], bounds=_dist_bounds())
+        raw[idx] = _fix_abandoned(got)
     elif scorer == "damerau_levenshtein":
         stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
         got = _native.native_damerau([a for a, _ in stripped],
@@ -455,7 +522,8 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
         valid = valid & ~_length_hopeless(scorer, form, s1, s2, score_cutoff,
                                           weights, prefix_weight=prefix_weight)
     raw, valid = _raw_batch(scorer, s1, s2, valid, weights=weights, pad=pad,
-                            prefix_weight=prefix_weight, errors=errors)
+                            prefix_weight=prefix_weight, errors=errors,
+                            form=form, score_cutoff=score_cutoff)
     out = np.full(n, np.nan)
     idx = np.flatnonzero(valid)
     if len(idx) == 0:

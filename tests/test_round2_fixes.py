@@ -296,3 +296,39 @@ def test_ivf_trained_codebook_recall(spark):
     hits = out.where(F.col("cand_id") == F.col("query_id") + n).count()
     # base and its perturbed copy land in the same/nearby cell
     assert hits >= 0.85 * n, f"recall {hits}/{n}"
+
+
+# ---------------------------------------------------------------------------
+# 7. kernel-level early abandonment under cutoff == full compute + suppress
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("scorer,form,cutoffs", [
+    ("ratio", "normalized_similarity", (0.3, 0.6, 0.85, 0.999)),
+    ("token_sort_ratio", "normalized_similarity", (0.5, 0.9)),
+    ("levenshtein", "distance", (0, 3, 10, 60)),
+    ("osa", "distance", (2, 25)),
+])
+def test_cutoff_abandon_equals_full_compute(scorer, form, cutoffs):
+    rng = random.Random(23)
+    alpha = "abcdef "
+    pairs = []
+    for _ in range(300):
+        n1, n2 = rng.randint(0, 90), rng.randint(0, 130)
+        a = "".join(rng.choice(alpha) for _ in range(n1))
+        b = "".join(rng.choice(alpha) for _ in range(n2))
+        pairs.append((a, b))
+    # include identical + near-identical pairs (cutoff boundary mass)
+    pairs += [(a, a) for a, _ in pairs[:20]]
+    pairs += [(a, a[:-1] + "z") for a, _ in pairs[:20] if len(a) > 2]
+    s1 = np.array([p[0] for p in pairs], dtype=object)
+    s2 = np.array([p[1] for p in pairs], dtype=object)
+    full = batch_scores(scorer, form, s1, s2)
+    for c in cutoffs:
+        got = batch_scores(scorer, form, s1, s2, score_cutoff=c)
+        if form == "distance":
+            want = np.where(full <= c, full, np.nan)
+        else:
+            want = np.where(full >= c, full, np.nan)
+        both_nan = np.isnan(got) & np.isnan(want)
+        same = both_nan | (got == want)
+        assert same.all(), (scorer, c, np.flatnonzero(~same)[:5])
