@@ -350,6 +350,36 @@ def q_minhash_candidates(spark, sf_dir):
             .distinct())
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Structured Streaming under the driver gate: the part table is
+    replayed as a file stream through the keyed-state cross-batch dedup
+    (applyInPandasWithState, state = full-sha256 marker), availableNow
+    to a parquet sink.  Which id survives per duplicate group depends
+    on arrival order, so the query returns the SET of surviving content
+    hashes (exactly one per distinct p_name — deterministic, and
+    DuckDB-oracled as SELECT DISTINCT sha256(p_name)); first-arrival /
+    state semantics are pinned by tests/test_streaming.py."""
+    from fuzzspark.streaming import streaming_stateful_dedup
+    static = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("content"))
+    src = tempfile.mkdtemp(prefix="fuzzspark_qstream_src_")
+    sink = tempfile.mkdtemp(prefix="fuzzspark_qstream_sink_")
+    ck = tempfile.mkdtemp(prefix="fuzzspark_qstream_ck_")
+    static.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(static.schema).parquet(src)
+    dedup = streaming_stateful_dedup(stream)
+
+    def write_batch(batch_df, _bid):
+        if not batch_df.isEmpty():
+            batch_df.write.mode("append").parquet(sink)
+
+    q = (dedup.writeStream.foreachBatch(write_batch)
+         .outputMode("update").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.read.parquet(sink).select("content_sha256").distinct()
+
+
 def q_linkage_clusters(spark, sf_dir):
     """Full pipeline over the documents corpus (iterative clustering —
     rows-only check; pinned by tests/test_pipeline_e2e.py instead)."""
@@ -479,6 +509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_levenshtein": q_seq_levenshtein,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "streaming_dedup": q_streaming_dedup,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -716,6 +747,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
         "langid": _langid_oracle_sql(),
+        # the streaming stateful dedup emits exactly one survivor per
+        # distinct content; projecting to the hash set makes the
+        # nondeterministic-survivor choice irrelevant
+        "streaming_dedup":
+            "SELECT DISTINCT sha256(p_name) AS content_sha256 FROM part",
         # driver text is ASCII, so length(text) = byte length of the blob
         "multimodal_meta":
             "SELECT doc_id AS id, "

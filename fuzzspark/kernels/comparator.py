@@ -39,7 +39,8 @@ class BatchComparator:
         self._masks = (pattern_masks(s1)
                        if scorer in ("levenshtein", "lcs_seq", "osa") else None)
 
-    # -- scalar 4-form surface (mirrors the module functions) ----------
+    # -- scalar 4-form surface (mirrors the module functions; score_hint
+    # is reference API parity — accepted, pure perf hint) --------------
     def _form(self, form: str, s2: str, score_cutoff=None):
         if self.scorer == "ratio":
             from . import fuzz
@@ -53,16 +54,22 @@ class BatchComparator:
         return getattr(mod, form)(self.s1, s2, score_cutoff=score_cutoff,
                                   **self.extra)
 
-    def distance(self, s2: str, *, score_cutoff=None):
+    def distance(self, s2: str, *, score_cutoff=None, score_hint=None):
+        del score_hint
         return self._form("distance", s2, score_cutoff)
 
-    def similarity(self, s2: str, *, score_cutoff=None):
+    def similarity(self, s2: str, *, score_cutoff=None, score_hint=None):
+        del score_hint
         return self._form("similarity", s2, score_cutoff)
 
-    def normalized_distance(self, s2: str, *, score_cutoff=None):
+    def normalized_distance(self, s2: str, *, score_cutoff=None,
+                            score_hint=None):
+        del score_hint
         return self._form("normalized_distance", s2, score_cutoff)
 
-    def normalized_similarity(self, s2: str, *, score_cutoff=None):
+    def normalized_similarity(self, s2: str, *, score_cutoff=None,
+                              score_hint=None):
+        del score_hint
         return self._form("normalized_similarity", s2, score_cutoff)
 
     # -- vectorized one × many ------------------------------------------
