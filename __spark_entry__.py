@@ -448,6 +448,18 @@ def q_event_windows(spark, sf_dir):
                     "n_events", "n_users", "sum_value", "avg_k"))
 
 
+def q_fuzzy_topk(spark, sf_dir):
+    """Fuzzy top-k search (one-query-vs-many extraction at DataFrame
+    scale): best 3 supplier names per sampled customer name by ratio,
+    cutoff 0.55 pushed below the UDF and into the kernel."""
+    from fuzzspark.extras.search import fuzzy_topk_join
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    s = _t(spark, sf_dir, "supplier")
+    return fuzzy_topk_join(c, s, query_col="c_name", choice_col="s_name",
+                           query_id="c_custkey", choice_id="s_suppkey",
+                           scorer="ratio", k=3, score_cutoff=0.55)
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Multimodal plumbing end-to-end: manufacture a binary media table
     (blob = utf-8 bytes, typed meta), run the mapInPandas feature
@@ -503,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "event_windows": q_event_windows,
         "multimodal_meta": q_multimodal_meta,
+        "fuzzy_topk": q_fuzzy_topk,
         "fingerprint": q_fingerprint,
         "ann_cosine_topk": q_ann_cosine_topk,
         "lsh_cosine_topk": q_lsh_cosine_topk,
@@ -747,6 +760,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank "
             "FROM r WHERE rank <= 5",
         "langid": _langid_oracle_sql(),
+        # ratio values over 18-char names are multiples of 1/18, so the
+        # 0.55 cutoff and the 1e-6 rounding can never flip a rank
+        "fuzzy_topk":
+            "WITH s AS (SELECT c.c_custkey AS query_id, "
+            "s.s_suppkey AS choice_id, "
+            f"{_sql_ratio('c.c_name', 's.s_name')} AS r "
+            "FROM customer c, supplier s WHERE c.c_custkey % 10 = 0), "
+            "f AS (SELECT * FROM s WHERE r >= 0.55), "
+            "r AS (SELECT query_id, choice_id, ROUND(r, 6) AS score, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY r DESC, choice_id) AS rank FROM f) "
+            "SELECT query_id, choice_id, score, CAST(rank AS INT) AS rank "
+            "FROM r WHERE rank <= 3",
         # the streaming stateful dedup emits exactly one survivor per
         # distinct content; projecting to the hash set makes the
         # nondeterministic-survivor choice irrelevant

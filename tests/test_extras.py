@@ -159,3 +159,26 @@ def test_multimodal_plumbing(spark, docs):
     vids = media.where("kind = 'video'").count()
     assert plan.count() >= vids  # at least one frame per video
     assert plan.groupBy("id").count().count() == vids
+
+
+def test_fuzzy_topk_join(spark):
+    from fuzzspark.extras.search import fuzzy_topk_join
+    from fuzzspark.kernels.fuzz import ratio_raw
+    qs = [(1, "apple pie"), (2, "banana bread"), (3, "zzzz")]
+    cs = [(10, "apple pies"), (11, "apple tart"), (12, "banana loaf"),
+          (13, "bananas bread"), (14, "cherry cake")]
+    qdf = spark.createDataFrame(qs, "qid: long, qname: string")
+    cdf = spark.createDataFrame(cs, "cid: long, cname: string")
+    out = fuzzy_topk_join(qdf, cdf, query_col="qname", choice_col="cname",
+                          query_id="qid", choice_id="cid",
+                          scorer="ratio", k=2, score_cutoff=0.5).collect()
+    got = {(r["query_id"], r["rank"]): (r["choice_id"], r["score"]) for r in out}
+    # manual oracle: ratio per pair, cutoff, sort by (-score, cid)
+    import itertools
+    for qid, qn in qs:
+        scored = sorted(((round(ratio_raw(qn, cn), 6), cid)
+                         for cid, cn in cs if ratio_raw(qn, cn) >= 0.5),
+                        key=lambda t: (-t[0], t[1]))[:2]
+        for rank, (score, cid) in enumerate(scored, 1):
+            assert got[(qid, rank)] == (cid, score), (qid, rank)
+        assert (qid, len(scored) + 1) not in got
