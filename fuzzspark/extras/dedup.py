@@ -25,7 +25,7 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = ["exact_dup_clusters", "simhash_udf", "simhash64",
            "simhash_near_dup_pairs", "ngram_jaccard_col",
-           "minhash_near_dup_pairs"]
+           "minhash_near_dup_pairs", "embedding_near_dup_pairs"]
 
 
 def exact_dup_clusters(df: DataFrame, content_col: str = "content",
@@ -163,6 +163,35 @@ def ngram_jaccard_col(s1, s2, n: int = 3):
     inter = F.size(F.array_intersect(g1, g2))
     union = F.size(F.array_union(g1, g2))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "id",
+                             emb_col: str = "embedding", dim: int,
+                             cos_cutoff: float = 0.95,
+                             n_bands: int = 16, bits_per_band: int = 6,
+                             seed: int = 4242) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the scale path: sign-
+    random-projection LSH bands bound the candidate set (near-dup
+    vectors at cos >= 0.95 agree on a band with overwhelming
+    probability), then an EXACT Catalyst-native cosine filter verifies
+    — no all-pairs computation anywhere, no false positives."""
+    from fuzzspark.extras.similarity import _as_double, _dot, _norm, lsh_band_udf
+    udf = lsh_band_udf(dim, n_bands, bits_per_band, seed)
+    v = _as_double(df.select(F.col(id_col).alias("id"),
+                             F.col(emb_col).alias("e")), "e")
+    keys = v.select("id", "e", F.explode(udf(F.col("e"))).alias("bkey"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, F.col("a.bkey") == F.col("b.bkey"))
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("left_id"),
+                    F.col("b.id").alias("right_id"),
+                    F.col("a.e").alias("e1"), F.col("b.e").alias("e2"))
+            .dropDuplicates(["left_id", "right_id"]))
+    cos = _dot(F.col("e1"), F.col("e2")) / (_norm(F.col("e1"))
+                                            * _norm(F.col("e2")))
+    return (cand.withColumn("cos", cos)
+            .where(F.col("cos") >= cos_cutoff)
+            .select("left_id", "right_id", F.round("cos", 6).alias("cos")))
 
 
 def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "id",

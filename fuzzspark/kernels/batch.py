@@ -33,7 +33,6 @@ _NATIVE_KIND = {"lcs_seq": _native.KIND_LCS, "levenshtein": _native.KIND_LEV,
                 "osa": _native.KIND_OSA}
 from .common import strip_common_affix
 from .metrics import (
-    ALL_METRICS,
     HammingError,
     _lev_maximum,
     damerau_distance_raw,

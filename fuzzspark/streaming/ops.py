@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -11,7 +11,7 @@ from fuzzspark.functions import length_prefilter, scorer_column, sha256_column
 from fuzzspark.pipeline.blocking import block_keys
 
 __all__ = ["streaming_exact_dedup", "streaming_fuzzy_match",
-           "streaming_ingest_linkage"]
+           "streaming_ingest_linkage", "streaming_stateful_dedup"]
 
 
 def streaming_exact_dedup(stream: DataFrame, *, content_col: str = "content",

@@ -182,3 +182,28 @@ def test_fuzzy_topk_join(spark):
         for rank, (score, cid) in enumerate(scored, 1):
             assert got[(qid, rank)] == (cid, score), (qid, rank)
         assert (qid, len(scored) + 1) not in got
+
+
+def test_embedding_near_dup_pairs_planted(spark):
+    """planted perturbed copies are found (LSH recall) and nothing
+    below the cutoff survives (exact verify)."""
+    import numpy as np
+    from fuzzspark.extras.dedup import embedding_near_dup_pairs
+    rng = np.random.default_rng(4)
+    n, dim = 80, 32
+    base = rng.standard_normal((n, dim))
+    pert = base + 0.05 * rng.standard_normal((n, dim))
+    rows = [(i, base[i].tolist()) for i in range(n)] + \
+           [(n + i, pert[i].tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, "id: long, embedding: array<double>")
+    got = embedding_near_dup_pairs(df, dim=dim, cos_cutoff=0.95).collect()
+    pairs = {(r["left_id"], r["right_id"]) for r in got}
+    planted = {(i, n + i) for i in range(n)}
+    found = len(pairs & planted)
+    assert found >= 0.9 * n, f"recall {found}/{n}"
+    # exact verify: every returned pair really clears the cutoff
+    emb = {i: np.array(e) for i, e in rows}
+    for l, r in pairs:
+        c = float(emb[l] @ emb[r] /
+                  (np.linalg.norm(emb[l]) * np.linalg.norm(emb[r])))
+        assert c >= 0.95 - 1e-9, (l, r, c)
