@@ -136,3 +136,40 @@ def test_streaming_stateful_dedup_across_batches(spark, tmp_path):
     assert len(out2) == 3
     new_rows = [r for r in out2 if r["id"] >= 4]
     assert [r["id"] for r in new_rows] == [5]  # only 'gamma' is new
+
+
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """the streaming twin of the (DuckDB-oracled) event_windows batch
+    query: tumbling 1-hour windows over an event stream in complete
+    mode equal the batch aggregation on the same data.  (countDistinct
+    is unsupported in streaming aggs, so the twin covers count + sum.)"""
+    src = str(tmp_path / "events")
+    # watermarks need TIMESTAMP (testdata ships TIMESTAMP_NTZ)
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    events.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = (stream.withWatermark("ts", "1 hour")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n_events", "sum_value"))
+    q = (agg.writeStream.format("memory").queryName("win_out")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                  r["sum_value"])
+           for r in spark.sql("SELECT * FROM win_out").collect()}
+    want = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                   r["sum_value"])
+            for r in (events.groupBy(F.window("ts", "1 hour").alias("w"),
+                                     "event_type")
+                      .agg(F.count("*").alias("n_events"),
+                           F.round(F.sum("value"), 4).alias("sum_value"))
+                      .select(F.col("w.start").alias("window_start"),
+                              "event_type", "n_events", "sum_value")
+                      .collect())}
+    assert got == want and len(got) > 0

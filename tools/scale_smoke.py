@@ -1,0 +1,58 @@
+"""10x scale smoke: replicate the sf0.1 documents corpus 10x (shifted
+ids, per-replica text perturbation so replicas are near-dups, not exact
+dups) and run the full linkage pipeline.  Reports total wall + the
+per-stage manifest times — the would-this-survive-a-scale-up probe the
+sandbox can actually run (results recorded in BASELINE.md)."""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from fuzzspark.pipeline import LinkageConfig, corpus_from_documents, run_pipeline
+from fuzzspark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = int(os.environ.get("SCALE_SMOKE_REPLICAS", "10"))
+
+
+def main() -> None:
+    spark = get_spark("scale-smoke", cpus=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("fuzzspark.python.parallelism", "16")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    reps = []
+    for r in range(REPLICAS):
+        reps.append(docs.select(
+            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
+            F.col("lang"), F.col("source"), F.col("n_chars"),
+            F.concat(F.col("text"), F.lit(" r"), F.lit(str(r)))
+            .alias("text")))
+    big = reps[0]
+    for rp in reps[1:]:
+        big = big.unionByName(rp)
+    print("docs:", big.count())
+    wd = tempfile.mkdtemp(prefix="scale_smoke_")
+    t0 = time.time()
+    out = run_pipeline(spark, corpus_from_documents(big), wd,
+                       LinkageConfig(threshold=0.85))
+    n = out["clusters"].count()
+    multi = (out["clusters"].groupBy("cluster_id").count()
+             .where("count>1").count())
+    print("clusters rows:", n, "multi-member:", multi,
+          "total_sec:", round(time.time() - t0, 1))
+    for st in sorted(os.listdir(wd)):
+        mp = os.path.join(wd, st, "_MANIFEST.json")
+        if os.path.exists(mp):
+            m = json.load(open(mp))
+            print(st, m["elapsed_sec"], "rows:", m["row_count"])
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
