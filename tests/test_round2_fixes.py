@@ -332,3 +332,61 @@ def test_cutoff_abandon_equals_full_compute(scorer, form, cutoffs):
         both_nan = np.isnan(got) & np.isnan(want)
         same = both_nan | (got == want)
         assert same.all(), (scorer, c, np.flatnonzero(~same)[:5])
+
+
+# ---------------------------------------------------------------------------
+# 8. the DuckDB oracle folds are themselves fuzzed vs the kernels
+# ---------------------------------------------------------------------------
+
+def test_sql_lcs_and_osa_folds_match_kernels():
+    """the oracle is only evidence if ITS math is right: fuzz the SQL
+    bit-parallel LCS/OSA/ratio folds against the python cores over a
+    DuckDB temp table (no string-literal quoting pitfalls)."""
+    import duckdb
+    import importlib.util
+    import os as _os
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_test",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      "__spark_entry__.py"))
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    from fuzzspark.kernels._bitpar import lcs_core, osa_core
+    from fuzzspark.kernels.fuzz import ratio_raw
+
+    rng = random.Random(99)
+    alpha = "ab c'd#\"e"
+    rows = []
+    for i in range(120):
+        n1, n2 = rng.randint(0, 40), rng.randint(0, 55)
+        rows.append((i, "".join(rng.choice(alpha) for _ in range(n1)),
+                     "".join(rng.choice(alpha) for _ in range(n2))))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    got = con.execute(
+        f"SELECT i, {em._sql_lcs_sym('a', 'b')} AS lcs, "
+        f"{em._sql_osa('a', 'b')} AS osa, "
+        f"ROUND({em._sql_ratio('a', 'b')}, 6) AS r "
+        "FROM t ORDER BY i").fetchall()
+    for (i, lcs, osa, r), (_, a, b) in zip(got, rows):
+        sa, sb = (a, b) if len(a) <= len(b) else (b, a)
+        assert lcs == lcs_core(sa, sb), (i, a, b)
+        assert osa == osa_core(a, b), (i, a, b)
+        assert r == round(ratio_raw(a, b), 6), (i, a, b)
+
+
+def test_partial_ratio_batch_equals_scalar():
+    from fuzzspark.kernels import fuzz as _fuzz
+    rng = random.Random(17)
+    pairs = []
+    for _ in range(200):
+        n1, n2 = rng.randint(0, 30), rng.randint(0, 90)
+        a = "".join(rng.choice("abcd") for _ in range(n1))
+        b = "".join(rng.choice("abcd") for _ in range(n2))
+        pairs.append((a, b))
+    s1 = np.array([p[0] for p in pairs], dtype=object)
+    s2 = np.array([p[1] for p in pairs], dtype=object)
+    got = batch_scores("partial_ratio", "normalized_similarity", s1, s2)
+    want = [_fuzz.partial_ratio_raw(a, b) for a, b in pairs]
+    assert np.allclose(got, want), np.flatnonzero(~np.isclose(got, want))[:5]
