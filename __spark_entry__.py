@@ -622,6 +622,63 @@ def _sql_osa(s1: str, s2: str) -> str:
 _SQL_TOKENS = "list_filter(string_split_regex({s}, '\\s+'), t -> t != '')"
 
 
+def _minhash_oracle_sql() -> str:
+    """DuckDB twin of the MinHash-LSH candidate generation: the hash
+    FAMILY constants (seeded affine coefficients) are part of the spec
+    and embedded as literals; the shingle polynomial, uint64 wraps,
+    Mersenne mod, band folds, and numpy's silent int64 wrap on the
+    band offset are all re-derived in integer SQL (HUGEINT
+    intermediates, 32-bit split for the 128-bit-overflowing fold
+    multiply)."""
+    from fuzzspark.pipeline.blocking import _hash_family
+    A, B = _hash_family(32, 1729)
+    GOLD = 0x9E3779B97F4A7C15
+    W = "18446744073709551616"  # 2^64
+    norm = "substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 2000)"
+    poly = ("(((((((((ascii(substr(t, j, 1))::HUGEINT) * 1000003 "
+            f"+ ascii(substr(t, j+1, 1))) % {W}) * 1000003 "
+            f"+ ascii(substr(t, j+2, 1))) % {W}) * 1000003 "
+            f"+ ascii(substr(t, j+3, 1))) % {W}) * 1000003 "
+            f"+ ascii(substr(t, j+4, 1))) % {W})")
+    fnv = ("list_reduce(list_prepend(1469598103934665603::HUGEINT, "
+           "[ascii(substr(t, j, 1))::HUGEINT FOR j IN range(1, length(t)+1)]), "
+           f"(h, c) -> xor((h * 1099511628211) % {W}, c))")
+    shingles = (
+        f"CASE WHEN length(t) < 5 "
+        f"THEN [({fnv} >> 1) & 9223372036854775807::HUGEINT] "
+        f"ELSE [({poly}) & 9223372036854775807::HUGEINT "
+        f"FOR j IN range(1, length(t) - 3)] END")
+    sigs = ", ".join(
+        f"list_min([(({int(A[k])}::HUGEINT * x + {int(B[k])}) % {W}) "
+        f"% 2305843009213693951 FOR x IN sh]) AS s{k}"
+        for k in range(32))
+
+    def fold(j: int) -> str:
+        expr = "0::HUGEINT"
+        for r in range(4):
+            k = j * 4 + r
+            lo = f"(({expr}) % 4294967296)"
+            hi = f"((({expr}) // 4294967296) % 4294967296)"
+            mul = (f"((({lo} * {GOLD}) + ((({hi} * {GOLD}) % 4294967296) "
+                   f"* 4294967296)) % {W})")
+            expr = f"(({mul} + s{k}) % {W})"
+        raw = f"((({expr}) >> 1) + {j << 56}::HUGEINT)"
+        return (f"CAST((((({raw}) + 9223372036854775808) % {W}) "
+                f"- 9223372036854775808) AS BIGINT)")
+
+    keys = ", ".join(f"{fold(j)} AS k{j}" for j in range(8))
+    key_list = "[" + ", ".join(f"k{j}" for j in range(8)) + "]"
+    return (
+        f"WITH bandkeys AS (SELECT doc_id, {keys} FROM ("
+        f"SELECT doc_id, {sigs} FROM ("
+        f"SELECT doc_id, {shingles} AS sh FROM ("
+        f"SELECT doc_id, {norm} AS t FROM documents "
+        f"WHERE text IS NOT NULL)))), "
+        f"ks AS (SELECT doc_id, unnest({key_list}) AS bk FROM bandkeys) "
+        f"SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id "
+        f"FROM ks a JOIN ks b ON a.bk = b.bk AND a.doc_id < b.doc_id")
+
+
 def _langid_oracle_sql() -> str:
     """DuckDB twin of fuzzspark.extras.textstats.langid_col: argmax of
     stopword-profile hit counts, ties alphabetically-first, 'unknown'
@@ -876,7 +933,40 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN length(a.p_name) <= length(b.p_name) "
             "THEN b.p_name ELSE a.p_name END AS txt "
             + _PART_PAIRS_SQL.format(ma=20, ra=0, mb=20, rb=10) + ")",
-        # minhash_candidates / simhash / linkage_clusters: no DuckDB twin
-        # (LSH hash family, iterative clustering) -> rows-only driver
-        # check; semantics pinned by the pytest suite instead.
+        # SimHash re-derived in SQL: DuckDB's md5() matches hashlib, so
+        # the token-hash bit votes, sign bits and the >>1 packing are
+        # all expressible (HUGEINT avoids the 1<<63 BIGINT overflow)
+        "simhash": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                                    t -> t != '')) AS t
+  FROM documents WHERE text IS NOT NULL),
+tv AS (
+  SELECT doc_id,
+    list_sum([ ((strpos('0123456789abcdef', substr(md5(t), 2*b + 1, 1)) - 1)
+                * 16
+               + (strpos('0123456789abcdef', substr(md5(t), 2*b + 2, 1)) - 1)
+               )::HUGEINT << (8 * b)
+              FOR b IN range(0, 8)]) AS v
+  FROM tok),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN ((v >> i) & 1::HUGEINT) = 1::HUGEINT
+                  THEN 1 ELSE -1 END) AS acc
+  FROM (SELECT doc_id, v, unnest(range(0, 64)) AS i FROM tv)
+  GROUP BY doc_id, i),
+packed AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << i)
+                  ELSE 0::HUGEINT END) AS p
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN d.text IS NULL THEN NULL
+            ELSE CAST(COALESCE(p.p >> 1, 0::HUGEINT) AS BIGINT) END AS simhash
+FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
+""",
+        "minhash_candidates": _minhash_oracle_sql(),
+        # linkage_clusters / lsh_cosine_topk: no DuckDB twin (iterative
+        # clustering; float random-hyperplane LSH) -> rows-only driver
+        # check; pinned by the pytest suite instead.
     }
