@@ -137,8 +137,15 @@ def _flatten(strs: list[str]):
     off = np.zeros(len(strs) + 1, dtype=np.int64)
     np.cumsum(lens, out=off[1:])
     joined = "".join(strs)
-    codes = (np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
-             if joined else np.zeros(0, dtype=np.uint32))
+    if not joined:
+        return np.zeros(0, dtype=np.uint32), off
+    try:
+        # ASCII fast path: 1-byte encode + numpy widening beats the
+        # 4-byte utf-32 encode for the overwhelmingly common case
+        codes = np.frombuffer(joined.encode("ascii"),
+                              dtype=np.uint8).astype(np.uint32)
+    except UnicodeEncodeError:
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
     return np.ascontiguousarray(codes), off
 
 
