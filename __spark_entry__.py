@@ -350,6 +350,18 @@ def q_minhash_candidates(spark, sf_dir):
             .distinct())
 
 
+def q_dedup_near(spark, sf_dir):
+    """End-to-end near-duplicate corpus dedup (the canonical
+    training-data composition): LSH candidates -> exact Jaccard verify
+    -> transitive closure -> deterministic min-id representative.  The
+    oracle re-derives the WHOLE chain in SQL, including the transitive
+    closure via a recursive CTE."""
+    from fuzzspark.extras.dedup import dedup_corpus
+    d = _t(spark, sf_dir, "documents")
+    return dedup_corpus(d, id_col="doc_id", content_col="text",
+                        jaccard_cutoff=0.7)
+
+
 def q_streaming_dedup(spark, sf_dir):
     """Structured Streaming under the driver gate: the part table is
     replayed as a file stream through the keyed-state cross-batch dedup
@@ -522,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_levenshtein": q_seq_levenshtein,
         "minhash_candidates": q_minhash_candidates,
         "simhash": q_simhash,
+        "dedup_near": q_dedup_near,
         "streaming_dedup": q_streaming_dedup,
         "linkage_clusters": q_linkage_clusters,
     }
@@ -622,7 +635,7 @@ def _sql_osa(s1: str, s2: str) -> str:
 _SQL_TOKENS = "list_filter(string_split_regex({s}, '\\s+'), t -> t != '')"
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_cte() -> str:
     """DuckDB twin of the MinHash-LSH candidate generation: the hash
     FAMILY constants (seeded affine coefficients) are part of the spec
     and embedded as literals; the shingle polynomial, uint64 wraps,
@@ -670,14 +683,48 @@ def _minhash_oracle_sql() -> str:
     keys = ", ".join(f"{fold(j)} AS k{j}" for j in range(8))
     key_list = "[" + ", ".join(f"k{j}" for j in range(8)) + "]"
     return (
-        f"WITH sh AS (SELECT doc_id, unnest({shingles}) AS x FROM ("
+        f"sh AS (SELECT doc_id, unnest({shingles}) AS x FROM ("
         f"SELECT doc_id, {norm} AS t FROM documents "
         f"WHERE text IS NOT NULL)), "
         f"sigt AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id), "
         f"bandkeys AS (SELECT doc_id, {keys} FROM sigt), "
-        f"ks AS (SELECT doc_id, unnest({key_list}) AS bk FROM bandkeys) "
-        f"SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id "
-        f"FROM ks a JOIN ks b ON a.bk = b.bk AND a.doc_id < b.doc_id")
+        f"ks AS (SELECT doc_id, unnest({key_list}) AS bk FROM bandkeys), "
+        f"cand AS (SELECT DISTINCT a.doc_id AS left_id, "
+        f"b.doc_id AS right_id "
+        f"FROM ks a JOIN ks b ON a.bk = b.bk AND a.doc_id < b.doc_id)")
+
+
+def _minhash_oracle_sql() -> str:
+    return f"WITH {_minhash_cte()} SELECT left_id, right_id FROM cand"
+
+
+def _dedup_corpus_oracle_sql(jaccard_cutoff: float = 0.7) -> str:
+    """DuckDB twin of extras.dedup.dedup_corpus over documents: minhash
+    candidates (integer-SQL re-derivation) -> exact 5-gram Jaccard
+    verify on the normalized text -> TRANSITIVE CLOSURE via a recursive
+    CTE (dup groups are tiny, so the reachability set stays small) ->
+    representative = min reachable id; singletons map to themselves."""
+    grams = ("list_distinct([substr(t, k, 5) "
+             "FOR k IN range(1, length(t) - 3)])")
+    return f"""WITH RECURSIVE {_minhash_cte()},
+gr AS (SELECT doc_id, {grams} AS g FROM (
+  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+  FROM documents WHERE text IS NOT NULL) WHERE length(t) >= 5),
+verified AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c JOIN gr g1 ON c.left_id = g1.doc_id
+              JOIN gr g2 ON c.right_id = g2.doc_id
+  WHERE len(list_intersect(g1.g, g2.g))::DOUBLE
+        / len(list_distinct(list_concat(g1.g, g2.g)))
+        >= {jaccard_cutoff}),
+sym AS (SELECT left_id AS a, right_id AS b FROM verified
+        UNION SELECT right_id, left_id FROM verified),
+r AS (SELECT a, b FROM sym
+      UNION
+      SELECT r.a, s.b FROM r JOIN sym s ON r.b = s.a WHERE r.a != s.b),
+lab AS (SELECT a AS id, least(min(b), a) AS rep FROM r GROUP BY a)
+SELECT d.doc_id AS id, COALESCE(l.rep, d.doc_id) AS representative_id
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.id"""
 
 
 def _langid_oracle_sql() -> str:
@@ -967,6 +1014,7 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """,
         "minhash_candidates": _minhash_oracle_sql(),
+        "dedup_near": _dedup_corpus_oracle_sql(),
         # linkage_clusters / lsh_cosine_topk: no DuckDB twin (iterative
         # clustering; float random-hyperplane LSH) -> rows-only driver
         # check; pinned by the pytest suite instead.

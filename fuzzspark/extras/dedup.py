@@ -25,7 +25,8 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = ["exact_dup_clusters", "simhash_udf", "simhash64",
            "simhash_near_dup_pairs", "ngram_jaccard_col",
-           "minhash_near_dup_pairs", "embedding_near_dup_pairs"]
+           "minhash_near_dup_pairs", "embedding_near_dup_pairs",
+           "dedup_corpus"]
 
 
 def exact_dup_clusters(df: DataFrame, content_col: str = "content",
@@ -163,6 +164,35 @@ def ngram_jaccard_col(s1, s2, n: int = 3):
     inter = F.size(F.array_intersect(g1, g2))
     union = F.size(F.array_union(g1, g2))
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
+
+
+def dedup_corpus(df: DataFrame, *, id_col: str = "id",
+                 content_col: str = "content",
+                 jaccard_cutoff: float = 0.7,
+                 n_bands: int = 8, rows_per_band: int = 4,
+                 shingle: int = 5) -> DataFrame:
+    """End-to-end near-duplicate corpus dedup — the canonical
+    training-data pipeline composition: MinHash-LSH candidates ->
+    exact n-gram-Jaccard verify -> transitive closure (connected
+    components) -> deterministic representative (min id per group).
+
+    Returns (id, representative_id) for EVERY input row (singletons map
+    to themselves); ``df.join(out.where("id = representative_id"), ...)``
+    keeps one row per near-dup group.  Every stage is the scale path:
+    LSH bounds candidates, no all-pairs anywhere, CC is the same
+    star-contraction + small-tail driver finish as the linkage
+    pipeline."""
+    from fuzzspark.pipeline.cluster import connected_components
+    edges = minhash_near_dup_pairs(
+        df, id_col=id_col, content_col=content_col,
+        jaccard_cutoff=jaccard_cutoff, n_bands=n_bands,
+        rows_per_band=rows_per_band, shingle=shingle)
+    labels = connected_components(
+        edges.select("left_id", "right_id"))
+    return (df.select(F.col(id_col).alias("id"))
+            .join(labels, "id", "left_outer")
+            .select("id", F.coalesce("cluster_id", "id")
+                    .alias("representative_id")))
 
 
 def embedding_near_dup_pairs(df: DataFrame, *, id_col: str = "id",

@@ -207,3 +207,18 @@ def test_embedding_near_dup_pairs_planted(spark):
         c = float(emb[l] @ emb[r] /
                   (np.linalg.norm(emb[l]) * np.linalg.norm(emb[r])))
         assert c >= 0.95 - 1e-9, (l, r, c)
+
+
+def test_dedup_corpus_end_to_end(spark):
+    """near-dup groups collapse to the min-id representative; distinct
+    docs map to themselves (transitive: a~b, b~c => one group)."""
+    from fuzzspark.extras.dedup import dedup_corpus
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [(1, base), (2, base + "tail one"), (3, base + "tail two"),
+            (10, "completely different content about weather patterns " * 4),
+            (11, "yet another unrelated document body entirely " * 4)]
+    df = spark.createDataFrame(rows, "id: long, content: string")
+    out = {r["id"]: r["representative_id"]
+           for r in dedup_corpus(df, jaccard_cutoff=0.6).collect()}
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[10] == 10 and out[11] == 11
