@@ -393,8 +393,13 @@ def q_streaming_dedup(spark, sf_dir):
 
 
 def q_linkage_clusters(spark, sf_dir):
-    """Full pipeline over the documents corpus (iterative clustering —
-    rows-only check; pinned by tests/test_pipeline_e2e.py instead)."""
+    """Full flagship pipeline over the documents corpus: 3 block-key
+    families -> skew defusal -> candidate pairs -> ratio scoring at
+    0.85 -> connected components -> (id, cluster_id).  Hash-exact: the
+    oracle re-derives the ENTIRE chain in DuckDB SQL, deciding edges
+    via exact levenshtein bounds on the indel distance plus a blocked
+    bit-parallel LCS for the undecided band (see _linkage_oracle_sql);
+    the iterative CC fixpoint equals the closure's min-id labels."""
     from fuzzspark.pipeline import (LinkageConfig, corpus_from_documents,
                                     run_pipeline)
     files = corpus_from_documents(_t(spark, sf_dir, "documents"))
@@ -727,6 +732,166 @@ SELECT d.doc_id AS id, COALESCE(l.rep, d.doc_id) AS representative_id
 FROM documents d LEFT JOIN lab l ON d.doc_id = l.id"""
 
 
+# --- multi-word (blocked) bit-parallel LCS: exact LCS for patterns of ANY
+# length in DuckDB SQL.  62-bit words held as HUGEINTs; Hyyrö's LCS fold
+# v' = ((v + (v & pm)) | (v - (v & pm))) & mask needs only the ADDITION to
+# carry across words (v - (v & pm) == v & ~pm exactly, since v & pm is a
+# submask of v — no borrows), so each text-char step ripples one carry
+# through the word list.  Plain LIST(HUGEINT) accumulators throughout:
+# DuckDB 1.0 list_reduce drops LIST fields inside STRUCT accumulators
+# between iterations (verified; scalar/struct-of-scalar states are fine,
+# which is why the OSA fold above can use struct_pack).
+
+_LCS_W = 62
+_LCS_TWO_W = 1 << _LCS_W
+_LCS_MASK_W = _LCS_TWO_W - 1
+
+
+def _sql_lcs_prep(pat: str) -> tuple[str, str]:
+    """(nb_expr, pmtab_expr) for :func:`_sql_lcs_blocked` — hoist both as
+    per-row columns so the O(nb × 128 × |pat|) pattern-mask table is
+    built once per pair, not once per text char.  ``pmtab[b][c+1]`` =
+    positions of chr(c) within 62-bit word ``b`` of the pattern
+    (ASCII inputs, like every other string oracle here)."""
+    W = _LCS_W
+    nb = f"((length({pat}) + {W - 1}) // {W})"
+    pmtab = (
+        f"[[coalesce(list_sum([CASE WHEN ascii(substr({pat}, i, 1)) = c "
+        f"THEN (1::HUGEINT << ((i - 1) % {W})) ELSE 0::HUGEINT END "
+        f"FOR i IN range({W}*b + 1, least({W}*(b+1), length({pat})) + 1)]), 0)"
+        f"::HUGEINT FOR c IN range(0, 128)] FOR b IN range(0, {nb})]"
+    )
+    return nb, pmtab
+
+
+def _sql_lcs_blocked(pat: str, txt: str, nb: str = "nb",
+                     pmt: str = "pmt") -> str:
+    """DuckDB expression: exact LCS length of ``pat``/``txt`` for
+    patterns longer than one word (``nb``/``pmt`` from
+    :func:`_sql_lcs_prep` hoisted as columns).  Encoding: outer acc =
+    the nb vertical-delta words; outer items = [char_code]; inner acc =
+    [carry, word_0, ..., word_{b-1}]; inner items = [b, pm_b]."""
+    W, TWO_W, MASK_W = _LCS_W, _LCS_TWO_W, _LCS_MASK_W
+    wordmask = (f"(CASE WHEN CAST(y[1] AS BIGINT) = {nb} - 1 "
+                f"THEN (1::HUGEINT << (length({pat}) - {W}*CAST(y[1] AS BIGINT))) - 1 "
+                f"ELSE {MASK_W}::HUGEINT END)")
+    init_ws = (f"[CASE WHEN b = {nb} - 1 "
+               f"THEN (1::HUGEINT << (length({pat}) - {W}*b)) - 1 "
+               f"ELSE {MASK_W}::HUGEINT END FOR b IN range(0, {nb})]")
+    inner_items = (
+        f"[[bb::HUGEINT, coalesce(list_extract(list_extract({pmt}, bb + 1), "
+        f"CAST(x[1] AS INT) + 1), 0::HUGEINT)] FOR bb IN range(0, {nb})]")
+    v = "list_extract(acc, CAST(y[1] AS INT) + 1)"
+    s = f"({v} + ({v} & y[2]) + a2[1])"
+    inner_lambda = (
+        f"(a2, y) -> list_append(list_concat([{s} // {TWO_W}::HUGEINT], a2[2:]), "
+        f"((({s} % {TWO_W}::HUGEINT) | ({v} & xor({MASK_W}::HUGEINT, y[2]))) "
+        f"& {wordmask}))")
+    outer_items = (f"[[ascii(substr({txt}, j, 1))::HUGEINT] "
+                   f"FOR j IN range(1, length({txt}) + 1)]")
+    outer_lambda = (
+        f"(acc, x) -> list_reduce(list_prepend([0::HUGEINT], {inner_items}), "
+        f"{inner_lambda})[2:]")
+    fold = f"list_reduce(list_prepend({init_ws}, {outer_items}), {outer_lambda})"
+    return (f"(length({pat}) - coalesce(list_sum("
+            f"[bit_count(CAST(w AS BIGINT)) FOR w IN {fold}]), 0))")
+
+
+def _linkage_oracle_sql() -> str:
+    """DuckDB twin of the FULL flagship pipeline (q_linkage_clusters over
+    documents at threshold 0.85): all three block-key families (exact
+    sha256 / path stem / the MinHash-LSH integer-SQL re-derivation) →
+    sorted-neighborhood skew defusal (window functions) → distinct
+    within-block pairs → edge decision → recursive-CTE transitive
+    closure → min-id labels, singletons mapping to themselves.
+
+    Edge decision (score >= t, score = 1.0 on exact_equal else indel
+    normalized_similarity): DuckDB's built-in levenshtein bounds the
+    indel distance exactly (lev <= indel <= 2*lev, integers), and
+    fl(1 - fl(a/L)) is monotone in the integer numerator a — the same
+    float shape the kernel uses — so bound-accept/reject are sound in
+    floating point; only the undecided band pays the exact blocked
+    bit-parallel LCS, where the oracle evaluates the kernel's exact
+    formula 1 - (L - 2*LCS)/L."""
+    from fuzzspark.pipeline import LinkageConfig
+    cfg = LinkageConfig(threshold=0.85)
+    t, max_block, window = cfg.threshold, cfg.max_block, cfg.window
+    half = max(1, window // 2)
+    nb_e, pm_e = _sql_lcs_prep("pat")
+    lcs = _sql_lcs_blocked("pat", "txt")
+    return f"""WITH RECURSIVE {_minhash_cte()},
+files AS (
+  SELECT doc_id AS id, lang,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         text AS content, length(text) AS content_len
+  FROM documents),
+blk AS (
+  SELECT id, 'x:' || sha256(content) AS block_key FROM files
+  UNION ALL
+  SELECT id, 'p:' || lang || '/' ||
+         lower(regexp_extract(list_extract(string_split(path, '/'), -1),
+                              '^([A-Za-z_]+)', 1)) AS block_key FROM files
+  UNION ALL
+  SELECT doc_id AS id, 'm:' || CAST(bk AS VARCHAR) AS block_key FROM ks),
+counted AS (
+  SELECT id, block_key,
+         count(*) OVER (PARTITION BY block_key) AS bsize
+  FROM blk),
+ranked AS (
+  SELECT c.id, c.block_key,
+         row_number() OVER (PARTITION BY c.block_key
+                            ORDER BY f.content_len, c.id) - 1 AS rnk
+  FROM counted c JOIN files f ON c.id = f.id
+  WHERE c.bsize > {max_block}),
+blocks AS (
+  SELECT id, block_key FROM counted WHERE bsize <= {max_block}
+  UNION ALL
+  SELECT id, block_key || '#w' || CAST(rnk // {window} AS VARCHAR) FROM ranked
+  UNION ALL
+  SELECT id, block_key || '#v' || CAST((rnk + {half}) // {window} AS VARCHAR)
+  FROM ranked),
+pair_ids AS (
+  SELECT DISTINCT l.id AS left_id, r.id AS right_id
+  FROM blocks l JOIN blocks r ON l.block_key = r.block_key AND l.id < r.id),
+banded AS (
+  SELECT p.left_id, p.right_id, f1.content AS s1, f2.content AS s2,
+         (f1.content = f2.content) AS exact_equal,
+         levenshtein(f1.content, f2.content) AS lev,
+         f1.content_len + f2.content_len AS L,
+         f1.content_len AS len1, f2.content_len AS len2
+  FROM pair_ids p JOIN files f1 ON p.left_id = f1.id
+                  JOIN files f2 ON p.right_id = f2.id
+  WHERE f1.content = f2.content
+     OR (CASE WHEN f1.content_len + f2.content_len = 0 THEN 1.0
+         ELSE 2.0 * least(f1.content_len, f2.content_len)
+              / (f1.content_len + f2.content_len) END) >= {t}),
+und AS (
+  SELECT left_id, right_id, L, pat, txt, {nb_e} AS nb, {pm_e} AS pmt
+  FROM (SELECT left_id, right_id, L,
+               CASE WHEN len1 <= len2 THEN s1 ELSE s2 END AS pat,
+               CASE WHEN len1 <= len2 THEN s2 ELSE s1 END AS txt
+        FROM banded
+        WHERE NOT exact_equal
+          AND 1.0 - lev::DOUBLE / L >= {t}
+          AND 1.0 - (2*lev)::DOUBLE / L < {t})),
+verified AS (
+  SELECT left_id, right_id FROM banded
+  WHERE exact_equal OR 1.0 - (2*lev)::DOUBLE / L >= {t}
+  UNION ALL
+  SELECT left_id, right_id FROM (
+    SELECT left_id, right_id, L, {lcs} AS lcs FROM und)
+  WHERE 1.0 - (L - 2*lcs)::DOUBLE / L >= {t}),
+sym AS (SELECT left_id AS a, right_id AS b FROM verified
+        UNION SELECT right_id, left_id FROM verified),
+reach AS (SELECT a, b FROM sym
+          UNION
+          SELECT reach.a, s.b FROM reach JOIN sym s ON reach.b = s.a
+          WHERE reach.a != s.b),
+lab AS (SELECT a AS id, least(min(b), a) AS rep FROM reach GROUP BY a)
+SELECT f.id, COALESCE(l.rep, f.id) AS cluster_id
+FROM files f LEFT JOIN lab l ON f.id = l.id"""
+
+
 def _langid_oracle_sql() -> str:
     """DuckDB twin of fuzzspark.extras.textstats.langid_col: argmax of
     stopword-profile hit counts, ties alphabetically-first, 'unknown'
@@ -1015,7 +1180,8 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """,
         "minhash_candidates": _minhash_oracle_sql(),
         "dedup_near": _dedup_corpus_oracle_sql(),
-        # linkage_clusters / lsh_cosine_topk: no DuckDB twin (iterative
-        # clustering; float random-hyperplane LSH) -> rows-only driver
-        # check; pinned by the pytest suite instead.
+        "linkage_clusters": _linkage_oracle_sql(),
+        # lsh_cosine_topk: no DuckDB twin (float random-hyperplane LSH —
+        # FP reduction order is inherently non-SQL) -> rows-only driver
+        # check; recall >= 0.9 vs the exact twin pinned in pytest.
     }
