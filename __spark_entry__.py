@@ -193,6 +193,18 @@ def q_ratio_docs(spark, sf_dir):
         .select("left_id", "right_id", "ratio")
 
 
+def q_ratio_long(spark, sf_dir):
+    """ratio over FULL-LENGTH document pairs (47-558 chars): the
+    long-string regime the 62-bit single-word SQL oracle cannot reach —
+    its DuckDB twin runs the blocked multi-word bit-parallel LCS
+    (_sql_lcs_blocked) instead.  Sampled by mod so the interpreted SQL
+    fold stays cheap; the same kernel path is bench-covered unsampled
+    by q_ratio_docs."""
+    p = _doc_pairs(spark, sf_dir, mod=67)
+    return _scored(p, "ratio", "normalized_similarity", "ratio") \
+        .select("left_id", "right_id", "ratio")
+
+
 def q_indel(spark, sf_dir):
     p = _name_pairs(spark, sf_dir)
     return _scored(p, "indel", "distance", "indel", "c_name", "s_name") \
@@ -388,8 +400,21 @@ def q_streaming_dedup(spark, sf_dir):
     q = (dedup.writeStream.foreachBatch(write_batch)
          .outputMode("update").option("checkpointLocation", ck)
          .trigger(availableNow=True).start())
-    q.awaitTermination(300)
-    return spark.read.parquet(sink).select("content_sha256").distinct()
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "streaming_dedup availableNow query did not finish in "
+                "300s; sink would be partial")
+        out = (spark.read.parquet(sink)
+               .select("content_sha256").distinct().toPandas())
+    finally:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+    # materialized above so the sink dir can be cleaned before returning
+    return spark.createDataFrame(out, schema="content_sha256: string")
 
 
 def q_linkage_clusters(spark, sf_dir):
@@ -518,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix": q_prefix,
         "postfix": q_postfix,
         "ratio": q_ratio,
+        "ratio_long": q_ratio_long,
         "ratio_cutoff": q_ratio_cutoff,
         "indel": q_indel,
         "lcs_seq": q_lcs_seq,
@@ -892,6 +918,30 @@ SELECT f.id, COALESCE(l.rep, f.id) AS cluster_id
 FROM files f LEFT JOIN lab l ON f.id = l.id"""
 
 
+def _ratio_long_oracle_sql(mod: int = 67) -> str:
+    """Long-string ratio twin: the blocked multi-word LCS scores
+    full-length documents exactly; 1 - (L - 2*LCS)/L is the kernel's
+    float shape verbatim."""
+    nb_e, pm_e = _sql_lcs_prep("pat")
+    lcs = _sql_lcs_blocked("pat", "txt")
+    return f"""WITH pairs AS (
+  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+         CASE WHEN length(a.text) <= length(b.text)
+              THEN a.text ELSE b.text END AS pat,
+         CASE WHEN length(a.text) <= length(b.text)
+              THEN b.text ELSE a.text END AS txt,
+         length(a.text) + length(b.text) AS L
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE (a.doc_id + b.doc_id) % {mod} = 0),
+prep AS (SELECT left_id, right_id, L, pat, txt,
+                {nb_e} AS nb, {pm_e} AS pmt FROM pairs)
+SELECT left_id, right_id,
+       ROUND(CASE WHEN L = 0 THEN 1.0
+             ELSE 1.0 - (L - 2*{lcs})::DOUBLE / L END, 6) AS ratio
+FROM prep"""
+
+
 def _langid_oracle_sql() -> str:
     """DuckDB twin of fuzzspark.extras.textstats.langid_col: argmax of
     stopword-profile hit counts, ties alphabetically-first, 'unknown'
@@ -1178,6 +1228,7 @@ SELECT d.doc_id,
             ELSE CAST(COALESCE(p.p >> 1, 0::HUGEINT) AS BIGINT) END AS simhash
 FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
 """,
+        "ratio_long": _ratio_long_oracle_sql(),
         "minhash_candidates": _minhash_oracle_sql(),
         "dedup_near": _dedup_corpus_oracle_sql(),
         "linkage_clusters": _linkage_oracle_sql(),

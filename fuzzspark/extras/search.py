@@ -31,23 +31,70 @@ from fuzzspark.functions import length_prefilter, scorer_column
 __all__ = ["fuzzy_topk_join"]
 
 
+def _blocked_candidates(queries, choices, query_col, choice_col,
+                        query_id, choice_id, q, c,
+                        broadcast_queries, blocking_kwargs):
+    """Candidate (query, choice) rows via block-key equi-join: block
+    keys on both sides (block_keys needs (id, content) and, for the
+    path family, (path, lang)), distinct id pairs, then content joined
+    back.  The keys join and the two content joins are all equi hash
+    joins — no nested loop at any size."""
+    from fuzzspark.pipeline.blocking import block_keys
+
+    qin = queries.select(F.col(query_id).alias("id"),
+                         F.col(query_col).alias("content"),
+                         *[F.col(x) for x in ("path", "lang")
+                           if x in queries.columns])
+    cin = choices.select(F.col(choice_id).alias("id"),
+                         F.col(choice_col).alias("content"),
+                         *[F.col(x) for x in ("path", "lang")
+                           if x in choices.columns])
+    qk = block_keys(qin, **blocking_kwargs) \
+        .withColumnRenamed("id", "query_id")
+    ck = block_keys(cin, **blocking_kwargs) \
+        .withColumnRenamed("id", "choice_id")
+    if broadcast_queries:
+        qk = F.broadcast(qk)
+    cand_ids = (qk.join(ck, "block_key")
+                .select("query_id", "choice_id")
+                .dropDuplicates(["query_id", "choice_id"]))
+    qp = F.broadcast(q) if broadcast_queries else q
+    return cand_ids.join(qp, "query_id").join(c, "choice_id")
+
+
 def fuzzy_topk_join(queries: DataFrame, choices: DataFrame, *,
                     query_col: str, choice_col: str,
                     query_id: str, choice_id: str,
                     scorer: str = "ratio", k: int = 3,
                     score_cutoff: Optional[float] = None,
-                    broadcast_queries: bool = True) -> DataFrame:
+                    broadcast_queries: bool = True,
+                    blocking_kwargs: Optional[dict] = None) -> DataFrame:
     """(query_id, choice_id, score, rank<=k) — best ``choices`` rows per
-    query under ``scorer``'s normalized similarity."""
+    query under ``scorer``'s normalized similarity.
+
+    ``blocking_kwargs`` (e.g. ``dict(use_exact=True, use_path=False,
+    use_minhash=True)``) switches to the blocked scale path: candidate
+    pairs come from an equi hash join on shared block keys — the same
+    machinery as the linkage pipeline and the streaming matcher — so a
+    LARGE query side never becomes a broadcast nested loop.  Recall
+    caveat (standard LSH trade, same as the pipeline's): only pairs
+    sharing a block key are candidates, so the blocked top-k is exact
+    over the recalled candidate set.  Without blocking, an exact
+    (broadcast) nested loop over the query side."""
     q = queries.select(F.col(query_id).alias("query_id"),
                        F.col(query_col).alias("q"),
                        F.length(query_col).alias("qlen"))
     c = choices.select(F.col(choice_id).alias("choice_id"),
                        F.col(choice_col).alias("c"),
                        F.length(choice_col).alias("clen"))
-    if broadcast_queries:
-        q = F.broadcast(q)
-    cand = q.crossJoin(c)
+    if blocking_kwargs is not None:
+        cand = _blocked_candidates(queries, choices, query_col, choice_col,
+                                   query_id, choice_id, q, c,
+                                   broadcast_queries, blocking_kwargs)
+    else:
+        if broadcast_queries:
+            q = F.broadcast(q)
+        cand = q.crossJoin(c)
     if score_cutoff is not None:
         # JVM-side prune below the UDF: Catalyst fuses it into the join
         cand = cand.where(length_prefilter(F.col("qlen"), F.col("clen"),

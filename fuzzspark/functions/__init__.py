@@ -114,7 +114,11 @@ def length_prefilter(len1: Column, len2: Column, scorer: str,
         if scorer == "jaro_winkler":
             # boost (<= 4 chars * prefix_weight) only fires when the true
             # jaro sim > 0.7; must scale with the caller's prefix_weight
-            # (the reference imposes no cap on the weight)
+            # (the reference imposes no cap on the weight).  The bound
+            # formula jb + 4w(1-jb) is only an upper bound while it is
+            # increasing in jb (w <= 0.25) — above that, no pruning.
+            if float(prefix_weight) > 0.25:
+                return F.lit(True)
             bound = F.when(jb > 0.7,
                            jb + 4.0 * float(prefix_weight) * (1.0 - jb)) \
                      .otherwise(jb)

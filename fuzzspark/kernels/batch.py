@@ -75,16 +75,20 @@ def _seq_to_str(seq) -> str:
 
 
 def _clean(arr) -> list[Optional[str]]:
+    # exact-type probe first: batches are overwhelmingly plain str
     out = []
+    append = out.append
     for v in arr:
-        if v is None or (isinstance(v, float) and np.isnan(v)):
-            out.append(None)
+        if type(v) is str:
+            append(v)
+        elif v is None or (isinstance(v, float) and np.isnan(v)):
+            append(None)
         elif isinstance(v, str):
-            out.append(v)
+            append(v)
         elif isinstance(v, (list, tuple, np.ndarray)):
-            out.append(_seq_to_str(v))
+            append(_seq_to_str(v))
         else:
-            out.append(str(v))
+            append(str(v))
     return out
 
 
@@ -321,8 +325,17 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                                                   tuple(weights))
     elif scorer in ("indel", "lcs_seq", "ratio", "token_sort_ratio"):
         if scorer == "token_sort_ratio":
-            pairs = [(" ".join(sorted(s1[k].split())), " ".join(sorted(s2[k].split())))
-                     for k in idx]
+            # tokenize/sort once per DISTINCT string: candidate batches
+            # (cross joins, one-vs-many extracts) repeat strings heavily
+            cache: dict[str, str] = {}
+
+            def _sorted_form(s: str) -> str:
+                v = cache.get(s)
+                if v is None:
+                    v = cache[s] = " ".join(sorted(s.split()))
+                return v
+
+            pairs = [(_sorted_form(s1[k]), _sorted_form(s2[k])) for k in idx]
         else:
             pairs = [(s1[k], s2[k]) for k in idx]
         if scorer in ("ratio", "token_sort_ratio"):
@@ -411,20 +424,35 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
     elif scorer == "partial_ratio":
         raw[idx] = _partial_ratio_batch([(s1[k], s2[k]) for k in idx])
     elif scorer == "token_set_ratio":
-        # the three derived string pairs per row all flow through ONE
-        # batched LCS call instead of per-row big-int cores
-        trip: list[tuple[str, str]] = []
-        for k in idx:
-            t1, t2 = set(s1[k].split()), set(s2[k].split())
-            inter = sorted(t1 & t2)
-            d1 = sorted(t1 - t2)
-            d2 = sorted(t2 - t1)
-            sect = " ".join(inter)
-            c1 = (sect + " " + " ".join(d1)).strip()
-            c2 = (sect + " " + " ".join(d2)).strip()
-            trip += [(sect, c1), (sect, c2), (c1, c2)]
+        # sect is a PREFIX of both combined strings, so LCS(sect, cX) ==
+        # len(sect) and the two containment ratios are pure length
+        # arithmetic (same algebra the reference's token_set uses);
+        # only the (c1, c2) pair pays the batched LCS kernel.  Token
+        # sets are cached per DISTINCT string (candidate batches repeat
+        # strings heavily).
+        tok_cache: dict[str, frozenset] = {}
+
+        def _tokset(s: str) -> frozenset:
+            v = tok_cache.get(s)
+            if v is None:
+                v = tok_cache[s] = frozenset(s.split())
+            return v
+
+        cpairs: list[tuple[str, str]] = []
+        base = np.zeros(len(idx))
+        for pos, k in enumerate(idx):
+            t1, t2 = _tokset(s1[k]), _tokset(s2[k])
+            sect = " ".join(sorted(t1 & t2))
+            c1 = (sect + " " + " ".join(sorted(t1 - t2))).strip()
+            c2 = (sect + " " + " ".join(sorted(t2 - t1))).strip()
+            cpairs.append((c1, c2))
+            # identical float shape to _ratio_sims: 1 - dist/total
+            ls, l1c, l2c = len(sect), len(c1), len(c2)
+            r1 = 1.0 if ls + l1c == 0 else 1.0 - (ls + l1c - 2 * ls) / (ls + l1c)
+            r2 = 1.0 if ls + l2c == 0 else 1.0 - (ls + l2c - 2 * ls) / (ls + l2c)
+            base[pos] = r1 if r1 >= r2 else r2
         if len(idx):
-            raw[idx] = _ratio_sims(trip).reshape(-1, 3).max(axis=1)
+            raw[idx] = np.maximum(base, _ratio_sims(cpairs))
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     return raw, valid
@@ -454,6 +482,13 @@ def _length_hopeless(scorer, form, s1, s2, cutoff, weights,
             bound = np.where(both_empty, 1.0,
                              np.where(lo == 0, 0.0, (lo / np.maximum(hi, 1.0) + 2.0) / 3.0))
         elif scorer == "jaro_winkler":
+            # jb + 4*w*(1-jb) is an upper bound of the boosted score
+            # only while it is increasing in jb, i.e. w <= 0.25; the
+            # reference imposes no weight cap, so above that the prune
+            # must switch off entirely (bound >= 1 there anyway for
+            # cutoffs <= 1, but a cutoff > 1 could wrongly suppress)
+            if prefix_weight > 0.25:
+                return out
             jb = np.where(both_empty, 1.0,
                           np.where(lo == 0, 0.0, (lo / np.maximum(hi, 1.0) + 2.0) / 3.0))
             # prefix boost (<= 4 chars * prefix_weight, applied only when
@@ -481,10 +516,10 @@ def _length_hopeless(scorer, form, s1, s2, cutoff, weights,
 
 
 def _maximum_arr(scorer: str, s1, s2, idx, weights=None) -> np.ndarray:
-    l1 = np.array([len(s1[k]) for k in idx], dtype=np.float64)
-    l2 = np.array([len(s2[k]) for k in idx], dtype=np.float64)
     if scorer in _SIM_CANONICAL:
         return np.ones(len(idx))
+    l1 = np.array([len(s1[k]) for k in idx], dtype=np.float64)
+    l2 = np.array([len(s2[k]) for k in idx], dtype=np.float64)
     if scorer == "indel":
         return l1 + l2
     if scorer == "levenshtein" and weights is not None and tuple(weights) != (1, 1, 1):

@@ -77,8 +77,13 @@ class StageRunner:
 
     def run(self, stage: str, build: Callable[[], DataFrame], *,
             score_col: str | None = None,
-            repartition: int | None = None) -> DataFrame:
-        """Build + persist a stage, or reload it if already complete."""
+            repartition: int | None = None,
+            extra_manifest: dict | None = None) -> DataFrame:
+        """Build + persist a stage, or reload it if already complete.
+
+        ``extra_manifest``: dict reference merged into the manifest at
+        write time — ``build`` may populate it during construction
+        (e.g. the CC round-by-round contracted-edge counts)."""
         out_dir = self._dir(stage)
         if self.is_complete(stage):
             self.stages_skipped.append(stage)
@@ -105,6 +110,8 @@ class StageRunner:
         }
         if score_col is not None:
             manifest["score_histogram"] = _score_histogram(persisted, score_col)
+        if extra_manifest:
+            manifest["extra"] = dict(extra_manifest)
         with open(self.manifest_path(stage), "w") as f:
             json.dump(manifest, f, indent=1)
         self.stages_run.append(stage)

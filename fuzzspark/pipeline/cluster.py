@@ -85,7 +85,8 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         driver_finish_edges: int = 1_000_000) -> DataFrame:
+                         driver_finish_edges: int = 1_000_000,
+                         stats: dict | None = None) -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
     min member id.  Nodes absent from ``edges`` are not returned
     (callers union isolated nodes as their own cluster).
@@ -93,7 +94,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     Distributed star rounds contract the graph; once the surviving edge
     set fits under ``driver_finish_edges`` (components are invariant
     under the star transforms) a driver-side union-find finishes it —
-    set 0 to force the fully-distributed fixpoint."""
+    set 0 to force the fully-distributed fixpoint.
+
+    ``stats`` (optional dict) is filled with the per-round contracted
+    (symmetrized, distinct) edge counts and where the driver finish cut
+    in — the data an operator needs to size ``driver_finish_edges``
+    (surfaced into the 05_clusters stage manifest by run_pipeline)."""
     def _fingerprint(df: DataFrame) -> tuple:
         """(edge count, order-insensitive 64-bit content hash) — one
         light aggregation instead of two exceptAll joins per round."""
@@ -102,9 +108,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                .collect()[0])
         return (row["n"], row["h"])
 
+    if stats is None:
+        stats = {}
+    stats["round_edges"] = []
+    stats["driver_finish_threshold"] = driver_finish_edges
+    stats["driver_finish_at_edges"] = None
     e = _symmetrize(edges).distinct().localCheckpoint()
     prev_fp = _fingerprint(e)
+    stats["round_edges"].append(prev_fp[0])
     if driver_finish_edges and prev_fp[0] <= driver_finish_edges:
+        stats["driver_finish_at_edges"] = prev_fp[0]
         return _driver_union_find(e)
     for _ in range(max_iter):
         # both stars operate on the symmetrized neighborhood view; the
@@ -117,7 +130,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         ).localCheckpoint(eager=False)
         fp = _fingerprint(e2)
         e = e2
+        stats["round_edges"].append(fp[0])
         if driver_finish_edges and fp[0] <= driver_finish_edges:
+            stats["driver_finish_at_edges"] = fp[0]
             return _driver_union_find(e)
         if fp == prev_fp:
             break

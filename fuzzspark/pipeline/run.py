@@ -125,17 +125,21 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
 
     scores = runner.run("04_scores", _score, score_col="score")
 
+    cc_stats: dict = {}
+
     def _cluster():
         edges = scores.where(F.col("score") >= cfg.threshold) \
                       .select("left_id", "right_id")
         labels = connected_components(
             edges, max_iter=cfg.cc_max_iter,
-            driver_finish_edges=cfg.cc_driver_finish)
+            driver_finish_edges=cfg.cc_driver_finish, stats=cc_stats)
         # isolated nodes -> singleton clusters
         return (files_ck.select("id").join(labels, "id", "left_outer")
                 .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))
 
-    clusters = runner.run("05_clusters", _cluster)
+    # cc_stats lands in the 05_clusters manifest: per-round contracted
+    # edge counts size the cc_driver_finish knob at any scale
+    clusters = runner.run("05_clusters", _cluster, extra_manifest=cc_stats)
 
     return dict(files=files_ck, blocks=blocks, pairs=pairs, scores=scores,
                 clusters=clusters, runner=runner)

@@ -51,6 +51,8 @@ def main() -> None:
         if os.path.exists(mp):
             m = json.load(open(mp))
             print(st, m["elapsed_sec"], "rows:", m["row_count"])
+            if "extra" in m:  # CC round-by-round contracted edge counts
+                print("   cc:", json.dumps(m["extra"]))
     spark.stop()
 
 

@@ -9,7 +9,14 @@ and local[4N].  This isolates the embarrassingly-parallel stage that
 dominates cost at 10^12 scale; the same-partitioning input makes the
 two runs differ only in core count.
   eff = T_N / (4 * T_4N).
-Appends a row to BENCH_SCALING.md.
+
+Round-3 protocol: the two legs of each sample run BACK-TO-BACK (paired)
+with leg order alternating between samples, and the reported statistic
+is the median of >= SCALING_PAIRS paired efficiencies — host-tenancy
+noise on this VM drifts slowly, so adjacent legs see correlated
+conditions and the ratio cancels it (single legs vary 1.6x; see the
+no-Spark controls in BENCH_SCALING.md).  Appends all samples plus the
+median to BENCH_SCALING.md; exit 0 iff median >= 0.8.
 """
 
 from __future__ import annotations
@@ -73,8 +80,22 @@ spark.stop()
 """
 
 
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
+
 def main():
+    """Paired-interleaved protocol (round-3): the N and 4N legs run
+    back-to-back inside each pair (host-tenancy noise on this VM drifts
+    on a seconds-to-minutes scale, so adjacent legs see correlated
+    conditions and their RATIO cancels it); leg order alternates
+    NH/HN between pairs to cancel any first-run effect; the reported
+    statistic is the MEDIAN of >= SCALING_PAIRS paired efficiencies
+    (not the best run, not independent-leg medians)."""
     n = int(os.environ.get("SCALING_N", "8"))
+    n_pairs_runs = int(os.environ.get("SCALING_PAIRS", "8"))
     out = os.path.join(tempfile.mkdtemp(prefix="fuzzspark_scaling_"), "pairs")
     prep = PREP % {"repo": REPO, "sf": SF_DIR, "mod": PAIR_MOD,
                    "parts": N_PARTS, "out": out}
@@ -91,39 +112,56 @@ def main():
                 if l.startswith("{")][-1]
         return json.loads(line)
 
-    lo = run_at(n)
-    hi = run_at(4 * n)
-    eff = lo["sec"] / (4.0 * hi["sec"])
+    samples = []
+    for i in range(n_pairs_runs):
+        if i % 2 == 0:
+            lo = run_at(n)
+            hi = run_at(4 * n)
+        else:
+            hi = run_at(4 * n)
+            lo = run_at(n)
+        eff = lo["sec"] / (4.0 * hi["sec"])
+        samples.append({"i": i, "order": "N,4N" if i % 2 == 0 else "4N,N",
+                        "sec_at_n": round(lo["sec"], 2),
+                        "sec_at_4n": round(hi["sec"], 2),
+                        "pairs_per_sec_at_n": round(lo["pairs_per_sec"], 1),
+                        "pairs_per_sec_at_4n": round(hi["pairs_per_sec"], 1),
+                        "efficiency": round(eff, 3)})
+        print(json.dumps(samples[-1]), flush=True)
+
+    effs = [s["efficiency"] for s in samples]
+    med = _median(effs)
+    trimmed = (_median(effs) if len(effs) < 4 else
+               sum(sorted(effs)[1:-1]) / (len(effs) - 2))
     result = {
-        "job": "ratio scoring stage over materialized candidate pairs",
+        "job": "ratio scoring stage over materialized candidate pairs "
+               "(paired-interleaved legs)",
         "sf_dir": SF_DIR, "pairs": npairs,
-        "n_cores": n, "n4_cores": 4 * n,
-        "sec_at_n": round(lo["sec"], 2),
-        "sec_at_4n": round(hi["sec"], 2),
-        "pairs_per_sec_at_n": round(lo["pairs_per_sec"], 1),
-        "pairs_per_sec_at_4n": round(hi["pairs_per_sec"], 1),
-        "scaling_efficiency": round(eff, 3),
+        "n_cores": n, "n4_cores": 4 * n, "n_paired_runs": len(effs),
+        "efficiencies": effs,
+        "median_efficiency": round(med, 3),
+        "trimmed_mean_efficiency": round(trimmed, 3),
     }
     print(json.dumps(result))
     stamp = time.strftime("%Y-%m-%d %H:%M")
     path = os.path.join(REPO, "BENCH_SCALING.md")
-    new = not os.path.exists(path)
     with open(path, "a") as f:
-        if new:
-            f.write("# Scaling evidence — same job at N vs 4N cores\n\n"
-                    "efficiency = T_N / (4 * T_4N); target >= 0.8 "
-                    "(BASELINE.json).  Job: the scorer stage (ratio pandas\n"
-                    "UDF over pre-materialized blocked candidate pairs, "
-                    "identical 128-partition input both runs).\n\n"
-                    "| when | sf | pairs | N | 4N | sec@N | sec@4N | "
-                    "pairs/s@N | pairs/s@4N | efficiency |\n"
-                    "|---|---|---|---|---|---|---|---|---|---|\n")
-        f.write(f"| {stamp} | {SF_DIR.split('/')[-1]} | {npairs} "
-                f"| {n} | {4*n} | {result['sec_at_n']} "
-                f"| {result['sec_at_4n']} | {result['pairs_per_sec_at_n']} "
-                f"| {result['pairs_per_sec_at_4n']} "
-                f"| **{result['scaling_efficiency']}** |\n")
-    return 0 if eff >= 0.8 else 1
+        f.write(f"\n**{stamp} paired-interleaved {n}->{4*n}** "
+                f"({len(effs)} pairs, alternating leg order, "
+                f"{npairs} scored pairs/leg): samples {effs} -> "
+                f"median **{round(med, 3)}**, "
+                f"trimmed mean {round(trimmed, 3)}.\n")
+        f.write("| when | sf | pairs | N | 4N | sec@N | sec@4N | "
+                "pairs/s@N | pairs/s@4N | efficiency |\n"
+                "|---|---|---|---|---|---|---|---|---|---|\n")
+        for s in samples:
+            f.write(f"| {stamp} #{s['i']} ({s['order']}) "
+                    f"| {SF_DIR.split('/')[-1]} | {npairs} "
+                    f"| {n} | {4*n} | {s['sec_at_n']} "
+                    f"| {s['sec_at_4n']} | {s['pairs_per_sec_at_n']} "
+                    f"| {s['pairs_per_sec_at_4n']} "
+                    f"| **{s['efficiency']}** |\n")
+    return 0 if med >= 0.8 else 1
 
 
 if __name__ == "__main__":
