@@ -711,15 +711,19 @@ def _minhash_cte() -> str:
         return (f"CAST((((({raw}) + 9223372036854775808) % {W}) "
                 f"- 9223372036854775808) AS BIGINT)")
 
-    keys = ", ".join(f"{fold(j)} AS k{j}" for j in range(8))
-    key_list = "[" + ", ".join(f"k{j}" for j in range(8)) + "]"
+    # one SELECT per band (UNION ALL) instead of 8 fold columns +
+    # unnest: DuckDB inlines single-use CTEs and re-evaluates the fold
+    # expressions per UNNESTED row (8x), and AS MATERIALIZED does not
+    # stop the pushdown — the per-band row shape computes each fold
+    # exactly once per doc (measured 13.3s -> ~2s for the cand set)
+    per_band = " UNION ALL ".join(
+        f"SELECT doc_id, {fold(j)} AS bk FROM sigt" for j in range(8))
     return (
         f"sh AS (SELECT doc_id, unnest({shingles}) AS x FROM ("
         f"SELECT doc_id, {norm} AS t FROM documents "
         f"WHERE text IS NOT NULL)), "
-        f"sigt AS (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id), "
-        f"bandkeys AS (SELECT doc_id, {keys} FROM sigt), "
-        f"ks AS (SELECT doc_id, unnest({key_list}) AS bk FROM bandkeys), "
+        f"sigt AS MATERIALIZED (SELECT doc_id, {sigs} FROM sh GROUP BY doc_id), "
+        f"ks AS MATERIALIZED ({per_band}), "
         f"cand AS (SELECT DISTINCT a.doc_id AS left_id, "
         f"b.doc_id AS right_id "
         f"FROM ks a JOIN ks b ON a.bk = b.bk AND a.doc_id < b.doc_id)")
