@@ -131,9 +131,10 @@ def get_lib():
     return _LIB
 
 
-def _flatten(strs: list[str]):
-    lens = np.fromiter((len(s) for s in strs), dtype=np.int64,
-                       count=len(strs))
+def _flatten(strs: list[str], lens: np.ndarray | None = None):
+    if lens is None:
+        lens = np.fromiter((len(s) for s in strs), dtype=np.int64,
+                           count=len(strs))
     off = np.zeros(len(strs) + 1, dtype=np.int64)
     np.cumsum(lens, out=off[1:])
     joined = "".join(strs)
@@ -150,17 +151,20 @@ def _flatten(strs: list[str]):
 
 
 def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str],
-                 bounds: np.ndarray | None = None) -> np.ndarray | None:
+                 bounds: np.ndarray | None = None,
+                 pat_lens: np.ndarray | None = None,
+                 txt_lens: np.ndarray | None = None) -> np.ndarray | None:
     """Batch metric via the native kernel, or None if unavailable.
     kind 0: LCS similarity; 1: levenshtein distance; 2: OSA distance.
     ``bounds`` (optional int64, -1 = none): per-pair early-abandon
     bound (min passing LCS / max passing distance); abandoned pairs
-    return -1 (provably outside the cutoff)."""
+    return -1 (provably outside the cutoff).  ``pat_lens``/``txt_lens``:
+    optional precomputed lengths (skips one python pass per side)."""
     lib = get_lib()
     if lib is None or not pat_strs:
         return None if lib is None else np.zeros(0, dtype=np.int64)
-    pat, pat_off = _flatten(pat_strs)
-    txt, txt_off = _flatten(txt_strs)
+    pat, pat_off = _flatten(pat_strs, pat_lens)
+    txt, txt_off = _flatten(txt_strs, txt_lens)
     out = np.empty(len(pat_strs), dtype=np.int64)
     if bounds is None:
         rc = lib.batch_metric(kind, pat, pat_off, txt, txt_off,

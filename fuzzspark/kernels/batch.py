@@ -115,32 +115,41 @@ def _factorize(strs: list[str]) -> tuple[np.ndarray, int]:
     return gids, len(seen)
 
 
-def _native_reordered(kind_fn, pat: list[str], txt: list[str], aux=None):
+def _native_reordered(kind_fn, pat: list[str], txt: list[str], aux=None,
+                      lens=None):
     """Call a native batch kernel with pairs grouped by pattern content
     when duplicates exist (so the C mask reuse fires), else in natural
-    order.  ``aux`` (optional int64 array, e.g. per-pair bounds) is
-    reordered alongside.  Returns results in natural order, or None w/o
-    a compiler."""
+    order.  ``aux`` (optional int64 array, e.g. per-pair bounds) and
+    ``lens`` (optional (pat_lens, txt_lens) arrays) are reordered
+    alongside.  Returns results in natural order, or None w/o a
+    compiler."""
     n = len(pat)
+
+    def call(p, t, a, ln):
+        if lens is None:
+            return kind_fn(p, t, a)
+        return kind_fn(p, t, a, ln[0], ln[1])
+
     # cheap probe: if a prefix sample is all-distinct, assume the batch
     # is too and skip the full factorize + sort (correct either way —
     # grouping only enables mask reuse)
     probe = min(n, 512)
     gids, n_distinct = _factorize(pat[:probe])
     if n_distinct == probe and probe < n:
-        return kind_fn(pat, txt, aux)
+        return call(pat, txt, aux, lens)
     if probe < n:
         gids, n_distinct = _factorize(pat)
     if n_distinct < 0.9 * n:
         order = np.argsort(gids, kind="stable")
-        got = kind_fn([pat[k] for k in order], [txt[k] for k in order],
-                      None if aux is None else aux[order])
+        got = call([pat[k] for k in order], [txt[k] for k in order],
+                   None if aux is None else aux[order],
+                   None if lens is None else (lens[0][order], lens[1][order]))
         if got is None:
             return None
         out = np.empty(n, dtype=np.int64)
         out[order] = got
         return out
-    return kind_fn(pat, txt, aux)
+    return call(pat, txt, aux, lens)
 
 
 def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]],
@@ -232,17 +241,46 @@ def _ratio_sims(pairs: list[tuple[str, str]],
     iff 2*LCS/total >= cutoff, i.e. LCS >= ceil(cutoff*total/2 - eps);
     abandoned pairs (-1 from the kernel) yield a NEGATIVE similarity,
     which the caller's final cutoff comparison suppresses — exactly the
-    rows full computation would have suppressed."""
+    rows full computation would have suppressed.
+
+    Hot path: ONE python pass builds pattern/text sides and both length
+    columns together (instead of separate passes for pat, txt, lens per
+    side and the total), feeding the native kernel precomputed lengths."""
     n = len(pairs)
     if not n:
         return np.zeros(0)
-    total = np.fromiter((len(a) + len(b) for a, b in pairs),
-                        dtype=np.int64, count=n)
-    bounds = None
-    if sim_cutoff is not None and sim_cutoff > 0:
-        min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
-        bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
-    lcs_full = _bitpar_family_distances("lcs_seq", pairs, bounds=bounds)
+    lcs_full = None
+    if _native.get_lib() is not None:
+        pat: list[str] = []
+        txt: list[str] = []
+        pl: list[int] = []
+        tl: list[int] = []
+        ap, at, apl, atl = pat.append, txt.append, pl.append, tl.append
+        for a, b in pairs:
+            la, lb = len(a), len(b)
+            if la <= lb:
+                ap(a), at(b), apl(la), atl(lb)
+            else:
+                ap(b), at(a), apl(lb), atl(la)
+        plens = np.array(pl, dtype=np.int64)
+        tlens = np.array(tl, dtype=np.int64)
+        total = plens + tlens
+        bounds = None
+        if sim_cutoff is not None and sim_cutoff > 0:
+            min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
+            bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
+        lcs_full = _native_reordered(
+            lambda p, t, bd, pln=None, tln=None: _native.native_batch(
+                0, p, t, bounds=bd, pat_lens=pln, txt_lens=tln),
+            pat, txt, aux=bounds, lens=(plens, tlens))
+    if lcs_full is None:  # no compiler: exact fallback path
+        total = np.fromiter((len(a) + len(b) for a, b in pairs),
+                            dtype=np.int64, count=n)
+        bounds = None
+        if sim_cutoff is not None and sim_cutoff > 0:
+            min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
+            bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
+        lcs_full = _bitpar_family_distances("lcs_seq", pairs, bounds=bounds)
     dist = total - 2 * lcs_full
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.where(total == 0, 1.0,
@@ -324,6 +362,13 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                 raw[k] = levenshtein_distance_raw(s1[k], s2[k],
                                                   tuple(weights))
     elif scorer in ("indel", "lcs_seq", "ratio", "token_sort_ratio"):
+        if scorer == "ratio" and len(idx) == n:
+            # all-valid hot path: zip is a C-speed pairing
+            raw[:] = _ratio_sims(
+                list(zip(s1, s2)),
+                sim_cutoff=(score_cutoff
+                            if form == "normalized_similarity" else None))
+            return raw, valid
         if scorer == "token_sort_ratio":
             # tokenize/sort once per DISTINCT string: candidate batches
             # (cross joins, one-vs-many extracts) repeat strings heavily
@@ -546,7 +591,13 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     s1 = _clean(s1_arr)
     s2 = _clean(s2_arr)
     n = len(s1)
-    valid = np.array([a is not None and b is not None for a, b in zip(s1, s2)])
+    # `None in list` is a C-speed identity scan — skips the per-row
+    # bool comprehension on the (overwhelmingly common) all-valid batch
+    if None in s1 or None in s2:
+        valid = np.array([a is not None and b is not None
+                          for a, b in zip(s1, s2)])
+    else:
+        valid = np.ones(n, dtype=bool)
     if score_cutoff is not None:
         # kernel-level analog of the reference's length-difference prune
         # (src/distance/levenshtein.rs:1045-1047, jaro length_filter
