@@ -417,6 +417,44 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.createDataFrame(out, schema="content_sha256: string")
 
 
+def q_streaming_match(spark, sf_dir):
+    """Streaming fuzzy match under the driver gate: the odd-doc half of
+    the corpus is replayed as a file stream and matched, micro-batch by
+    micro-batch, against the static even-doc reference through the SAME
+    blocking machinery as the batch pipeline (streaming/ops.py
+    _match_batch: shared block keys -> candidate pairs -> prefilter ->
+    ratio at cutoff 0.9).  Edge set and scores are batch-order
+    independent, so the oracle is an ordinary batch relation with exact
+    multi-word-LCS scores."""
+    from fuzzspark.pipeline.corpus import corpus_from_documents
+    from fuzzspark.streaming import streaming_fuzzy_match
+    docs = _t(spark, sf_dir, "documents")
+    ref = corpus_from_documents(docs.where(F.col("doc_id") % 2 == 0))
+    stream_rows = corpus_from_documents(docs.where(F.col("doc_id") % 2 == 1))
+    src = tempfile.mkdtemp(prefix="fuzzspark_qsm_src_")
+    sink = tempfile.mkdtemp(prefix="fuzzspark_qsm_sink_")
+    ck = tempfile.mkdtemp(prefix="fuzzspark_qsm_ck_")
+    stream_rows.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(stream_rows.schema).parquet(src)
+    q = streaming_fuzzy_match(stream, ref, scorer="ratio", threshold=0.9,
+                              sink_dir=sink, checkpoint_dir=ck,
+                              trigger_once=True)
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_match availableNow query did not "
+                               "finish in 300s; sink would be partial")
+        out = (spark.read.parquet(sink)
+               .select("stream_id", "ref_id", "score").toPandas())
+    finally:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="stream_id: long, ref_id: long, score: double")
+
+
 def q_linkage_clusters(spark, sf_dir):
     """Full flagship pipeline over the documents corpus: 3 block-key
     families -> skew defusal -> candidate pairs -> ratio scoring at
@@ -567,6 +605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "dedup_near": q_dedup_near,
         "streaming_dedup": q_streaming_dedup,
+        "streaming_match": q_streaming_match,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -827,6 +866,65 @@ def _sql_lcs_blocked(pat: str, txt: str, nb: str = "nb",
             f"[bit_count(CAST(w AS BIGINT)) FOR w IN {fold}]), 0))")
 
 
+# corpus_from_documents shape + the three block-key families (exact
+# sha256 / path stem / MinHash band keys from the `ks` CTE) — shared by
+# the linkage and streaming-match oracles
+_CORPUS_BLOCK_CTE = """files AS (
+  SELECT doc_id AS id, lang,
+         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+         text AS content, length(text) AS content_len
+  FROM documents),
+blk AS (
+  SELECT id, 'x:' || sha256(content) AS block_key FROM files
+  UNION ALL
+  SELECT id, 'p:' || lang || '/' ||
+         lower(regexp_extract(list_extract(string_split(path, '/'), -1),
+                              '^([A-Za-z_]+)', 1)) AS block_key FROM files
+  UNION ALL
+  SELECT doc_id AS id, 'm:' || CAST(bk AS VARCHAR) AS block_key FROM ks)"""
+
+
+def _streaming_match_oracle_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of q_streaming_match: odd-doc stream matched against
+    the even-doc reference corpus through streaming_fuzzy_match's batch
+    matcher (shared block keys -> candidate pairs -> ratio >= t).  The
+    edge SET is batch-order independent (static reference, per-row
+    scoring), so the replayed stream's union of per-batch edges equals
+    this batch relation.  Scores are exact: candidates surviving the
+    levenshtein reject bound (a superset of emitted edges) are scored
+    by the blocked multi-word LCS with the kernel's float shape."""
+    nb_e, pm_e = _sql_lcs_prep("pat")
+    lcs = _sql_lcs_blocked("pat", "txt")
+    t = threshold
+    return f"""WITH {_minhash_cte()},
+{_CORPUS_BLOCK_CTE},
+cpairs AS (
+  SELECT DISTINCT a.id AS stream_id, b.id AS ref_id
+  FROM blk a JOIN blk b ON a.block_key = b.block_key
+  WHERE a.id % 2 = 1 AND b.id % 2 = 0),
+banded AS (
+  SELECT c.stream_id, c.ref_id,
+         CASE WHEN f1.content_len <= f2.content_len
+              THEN f1.content ELSE f2.content END AS pat,
+         CASE WHEN f1.content_len <= f2.content_len
+              THEN f2.content ELSE f1.content END AS txt,
+         f1.content_len + f2.content_len AS L,
+         levenshtein(f1.content, f2.content) AS lev
+  FROM cpairs c JOIN files f1 ON c.stream_id = f1.id
+              JOIN files f2 ON c.ref_id = f2.id),
+survivors AS (
+  SELECT stream_id, ref_id, L, pat, txt, {nb_e} AS nb, {pm_e} AS pmt
+  FROM banded
+  WHERE L = 0 OR 1.0 - lev::DOUBLE / L >= {t}),
+scored AS (
+  SELECT stream_id, ref_id, L,
+         CASE WHEN L = 0 THEN 1.0
+              ELSE 1.0 - (L - 2*{lcs})::DOUBLE / L END AS r
+  FROM survivors)
+SELECT stream_id, ref_id, ROUND(r, 6) AS score
+FROM scored WHERE r >= {t}"""
+
+
 def _linkage_oracle_sql() -> str:
     """DuckDB twin of the FULL flagship pipeline (q_linkage_clusters over
     documents at threshold 0.85): all three block-key families (exact
@@ -850,19 +948,7 @@ def _linkage_oracle_sql() -> str:
     nb_e, pm_e = _sql_lcs_prep("pat")
     lcs = _sql_lcs_blocked("pat", "txt")
     return f"""WITH RECURSIVE {_minhash_cte()},
-files AS (
-  SELECT doc_id AS id, lang,
-         'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
-         text AS content, length(text) AS content_len
-  FROM documents),
-blk AS (
-  SELECT id, 'x:' || sha256(content) AS block_key FROM files
-  UNION ALL
-  SELECT id, 'p:' || lang || '/' ||
-         lower(regexp_extract(list_extract(string_split(path, '/'), -1),
-                              '^([A-Za-z_]+)', 1)) AS block_key FROM files
-  UNION ALL
-  SELECT doc_id AS id, 'm:' || CAST(bk AS VARCHAR) AS block_key FROM ks),
+{_CORPUS_BLOCK_CTE},
 counted AS (
   SELECT id, block_key,
          count(*) OVER (PARTITION BY block_key) AS bsize
@@ -1235,6 +1321,7 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
         "ratio_long": _ratio_long_oracle_sql(),
         "minhash_candidates": _minhash_oracle_sql(),
         "dedup_near": _dedup_corpus_oracle_sql(),
+        "streaming_match": _streaming_match_oracle_sql(),
         "linkage_clusters": _linkage_oracle_sql(),
         # lsh_cosine_topk: no DuckDB twin (float random-hyperplane LSH —
         # FP reduction order is inherently non-SQL) -> rows-only driver

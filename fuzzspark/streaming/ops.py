@@ -34,11 +34,16 @@ def _match_batch(reference: DataFrame, scorer: str, threshold: float,
                  blocking_kwargs: dict):
     """Build the per-micro-batch matcher: batch_df (id, content, ...) ->
     match edges (stream_id, ref_id, score)."""
+    # the reference is static across micro-batches: persist its block
+    # keys (the minhash UDF pass) and content projection once instead of
+    # recomputing them every batch — at 100 TB the reference blocking is
+    # the dominant per-batch cost without this
     ref_blocks = block_keys(reference, **blocking_kwargs) \
-        .withColumnRenamed("id", "ref_id")
+        .withColumnRenamed("id", "ref_id").persist()
     ref_content = reference.select(F.col("id").alias("ref_id"),
                                    F.col("content").alias("ref_content"),
-                                   F.length("content").alias("ref_len"))
+                                   F.length("content").alias("ref_len")) \
+        .persist()
 
     def run(batch_df: DataFrame) -> DataFrame:
         new_blocks = block_keys(batch_df, **blocking_kwargs) \
