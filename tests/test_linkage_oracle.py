@@ -72,6 +72,22 @@ def test_sql_lcs_blocked_matches_kernel():
     assert got == want
 
 
+def test_sql_lcs_blocked_printable_ascii_sweep():
+    """The blocked-LCS SQL equals the kernel across the full printable
+    ASCII range (the oracle's documented domain), independent lengths
+    per side including cross-word-boundary mixes."""
+    rng = np.random.default_rng(23)
+    pairs = []
+    for _ in range(80):
+        la, lb = int(rng.integers(0, 160)), int(rng.integers(0, 160))
+        a = "".join(chr(32 + int(c)) for c in rng.integers(0, 95, la))
+        b = "".join(chr(32 + int(c)) for c in rng.integers(0, 95, lb))
+        pairs.append((a, b))
+    got = _lcs_sql_eval(pairs)
+    want = [lcs_similarity_raw(a, b) for a, b in pairs]
+    assert got == want
+
+
 def _crafted_docs():
     """documents-shaped corpus whose ratio decisions at t=0.85 straddle
     the levenshtein accept/reject bounds (lev <= indel <= 2*lev):
