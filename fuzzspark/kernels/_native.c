@@ -42,6 +42,14 @@ typedef struct {            /* reused across every pair in a batch */
     uint32_t  cap_max;      /* power of two >= 2 * max_m */
 } PMArena;
 
+/* element accessor: the batch_metric family accepts 1-byte (ASCII
+ * fast path — no python-side widening copy, 4x less input traffic) or
+ * 4-byte code-point input; the es==1 test is perfectly predicted. */
+static inline uint32_t elem_at(const void *b, int64_t i, int es) {
+    return es == 1 ? (uint32_t)((const uint8_t *)b)[i]
+                   : ((const uint32_t *)b)[i];
+}
+
 static inline uint32_t hash32(uint32_t x) {
     x ^= x >> 16; x *= 0x7feb352du;
     x ^= x >> 15; x *= 0x846ca68bu;
@@ -65,18 +73,19 @@ static void arena_free(PMArena *ar) {
     free(ar->dmask); free(ar->hmask); free(ar->keys); free(ar->rowidx);
 }
 
-static void pm_build(PM *pm, PMArena *ar, const uint32_t *pat, int64_t m,
-                     int64_t words) {
+static void pm_build(PM *pm, PMArena *ar, const void *pat, int es,
+                     int64_t m, int64_t words) {
     int direct = 1;
-    for (int64_t i = 0; i < m; i++)
-        if (pat[i] >= 256u) { direct = 0; break; }
+    if (es != 1)
+        for (int64_t i = 0; i < m; i++)
+            if (elem_at(pat, i, es) >= 256u) { direct = 0; break; }
     pm->direct = direct; pm->words = words;
     if (direct) {
         pm->dmask = ar->dmask;
         memset(ar->dmask, 0, 256u * (size_t)words * sizeof(uint64_t));
         memset(pm->present, 0, sizeof(pm->present));
         for (int64_t i = 0; i < m; i++) {
-            uint32_t c = pat[i];
+            uint32_t c = elem_at(pat, i, es);
             pm->dmask[(size_t)c * words + (i >> 6)] |= 1ull << (i & 63);
             pm->present[c >> 6] |= 1ull << (c & 63);
         }
@@ -88,7 +97,7 @@ static void pm_build(PM *pm, PMArena *ar, const uint32_t *pat, int64_t m,
     pm->keys = ar->keys; pm->rowidx = ar->rowidx; pm->hmask = ar->hmask;
     memset(pm->keys, 0xFF, (size_t)cap * sizeof(uint32_t));
     for (int64_t i = 0; i < m; i++) {
-        uint32_t c = pat[i];
+        uint32_t c = elem_at(pat, i, es);
         uint32_t slot = hash32(c) & (cap - 1);
         while (pm->keys[slot] != EMPTY_KEY && pm->keys[slot] != c)
             slot = (slot + 1) & (cap - 1);
@@ -128,8 +137,8 @@ static inline const uint64_t *pm_get(const PM *pm, uint32_t c) {
  * (caller treats as "provably below the cutoff").  This is the
  * cutoff-driven kernel narrowing of the reference (its banded kernels,
  * src/distance/lcs_seq.rs:267-341) in abandonment form. */
-static int64_t lcs_one(const uint32_t *pat, int64_t m,
-                       const uint32_t *txt, int64_t n,
+static int64_t lcs_one(int64_t m,
+                       const void *txt, int es, int64_t n,
                        uint64_t *S /* scratch words */, const PM *pm,
                        int64_t min_lcs) {
     int64_t words = (m + 63) >> 6;
@@ -137,7 +146,7 @@ static int64_t lcs_one(const uint32_t *pat, int64_t m,
     uint64_t top = (m & 63) ? ((1ull << (m & 63)) - 1ull) : ~0ull;
     S[words - 1] = top;
     for (int64_t j = 0; j < n; j++) {
-        const uint64_t *M = pm_get(pm, txt[j]);
+        const uint64_t *M = pm_get(pm, elem_at(txt, j, es));
         if (M) {
             uint64_t carry = 0;
             for (int64_t k = 0; k < words; k++) {
@@ -175,8 +184,8 @@ static int64_t lcs_one(const uint32_t *pat, int64_t m,
 /* max_dist < 0: no bound.  Final dist >= dist_now - remaining (each
  * text char moves the last-row value by at most 1), so abandon once
  * that lower bound exceeds max_dist; returns -1. */
-static int64_t lev_one(const uint32_t *pat, int64_t m,
-                       const uint32_t *txt, int64_t n,
+static int64_t lev_one(int64_t m,
+                       const void *txt, int es, int64_t n,
                        uint64_t *VP, uint64_t *VN, const PM *pm,
                        int64_t max_dist) {
     int64_t words = (m + 63) >> 6;
@@ -187,7 +196,7 @@ static int64_t lev_one(const uint32_t *pat, int64_t m,
     int64_t dist = m;
     static const uint64_t ZROW_MAX = 0; (void)ZROW_MAX;
     for (int64_t j = 0; j < n; j++) {
-        const uint64_t *M = pm_get(pm, txt[j]);
+        const uint64_t *M = pm_get(pm, elem_at(txt, j, es));
         uint64_t carry_d0 = 0;     /* carry of (X & VP) + VP */
         uint64_t hp_carry = 1;     /* HP << 1 | 1 at word 0 */
         uint64_t hn_carry = 0;
@@ -223,8 +232,8 @@ static int64_t lev_one(const uint32_t *pat, int64_t m,
 
 /* -------- OSA (Hyyrö 2003 Damerau variant, blocked words) ----------- */
 
-static int64_t osa_one(const uint32_t *pat, int64_t m,
-                       const uint32_t *txt, int64_t n,
+static int64_t osa_one(int64_t m,
+                       const void *txt, int es, int64_t n,
                        uint64_t *VP, uint64_t *VN, uint64_t *D0v,
                        uint64_t *PMprev, const PM *pm, int64_t max_dist) {
     int64_t words = (m + 63) >> 6;
@@ -236,7 +245,7 @@ static int64_t osa_one(const uint32_t *pat, int64_t m,
     uint64_t msb = 1ull << ((m - 1) & 63);
     int64_t dist = m;
     for (int64_t j = 0; j < n; j++) {
-        const uint64_t *M = pm_get(pm, txt[j]);
+        const uint64_t *M = pm_get(pm, elem_at(txt, j, es));
         uint64_t carry_d0 = 0, hp_carry = 1, hn_carry = 0, tr_carry = 0;
         for (int64_t k = 0; k < words; k++) {
             uint64_t PMk = M ? M[k] : 0;
@@ -296,11 +305,12 @@ static int64_t max_words(const int64_t *off, int64_t n_pairs) {
  * for LCS the MINIMUM similarity that can still pass, for distances
  * the MAXIMUM passing distance; -1 = none.  Abandoned pairs come back
  * as -1 ("provably suppressed") and never as a wrong score. */
-int batch_metric_bounded(int kind,
-                         const uint32_t *pat, const int64_t *pat_off,
-                         const uint32_t *txt, const int64_t *txt_off,
-                         int64_t n_pairs, int64_t *out,
-                         const int64_t *bounds) {
+int batch_metric_bounded_es(int kind,
+                            const void *pat, const int64_t *pat_off,
+                            const void *txt, const int64_t *txt_off,
+                            int64_t n_pairs, int64_t *out,
+                            const int64_t *bounds, int64_t elem_size) {
+    const int es = (int)elem_size;
     int64_t mw = max_words(pat_off, n_pairs);
     int64_t max_m = 1;
     for (int64_t i = 0; i < n_pairs; i++) {
@@ -318,22 +328,24 @@ int batch_metric_bounded(int kind,
         return -1;
     }
     PM pm;
-    const uint32_t *last_pat = NULL;
+    const char *last_pat = NULL;
     int64_t last_m = -1;
     int have_pm = 0;
     for (int64_t i = 0; i < n_pairs; i++) {
-        const uint32_t *p = pat + pat_off[i];
+        const char *p = (const char *)pat + pat_off[i] * es;
         int64_t m = pat_off[i + 1] - pat_off[i];
-        const uint32_t *t = txt + txt_off[i];
+        const char *t = (const char *)txt + txt_off[i] * es;
         int64_t n = txt_off[i + 1] - txt_off[i];
         /* strip common prefix + suffix */
         int64_t lim = m < n ? m : n;
         int64_t pre = 0;
-        while (pre < lim && p[pre] == t[pre]) pre++;
+        while (pre < lim && elem_at(p, pre, es) == elem_at(t, pre, es)) pre++;
         int64_t suf = 0;
-        while (suf < lim - pre && p[m - 1 - suf] == t[n - 1 - suf]) suf++;
-        const uint32_t *ps = p + pre;
-        const uint32_t *ts = t + pre;
+        while (suf < lim - pre
+               && elem_at(p, m - 1 - suf, es) == elem_at(t, n - 1 - suf, es))
+            suf++;
+        const char *ps = p + pre * es;
+        const char *ts = t + pre * es;
         int64_t ms = m - pre - suf;
         int64_t ns = n - pre - suf;
         if (ms == 0 || ns == 0) {
@@ -347,9 +359,8 @@ int batch_metric_bounded(int kind,
          * share the same (stripped) pattern content. */
         if (!(have_pm && ms == last_m
               && (ps == last_pat
-                  || memcmp(ps, last_pat,
-                            (size_t)ms * sizeof(uint32_t)) == 0))) {
-            pm_build(&pm, &ar, ps, ms, (ms + 63) >> 6);
+                  || memcmp(ps, last_pat, (size_t)ms * es) == 0))) {
+            pm_build(&pm, &ar, ps, es, ms, (ms + 63) >> 6);
             have_pm = 1; last_pat = ps; last_m = ms;
         }
         int64_t bound = bounds ? bounds[i] : -1;
@@ -357,24 +368,33 @@ int batch_metric_bounded(int kind,
             /* the affix is always part of the LCS: bound moves inward */
             int64_t mb = (bound >= 0 && bound - pre - suf > 0)
                          ? bound - pre - suf : -1;
-            int64_t r = lcs_one(ps, ms, ts, ns, s1, &pm, mb);
+            int64_t r = lcs_one(ms, ts, es, ns, s1, &pm, mb);
             out[i] = (r < 0) ? -1 : r + pre + suf;
         } else if (kind == 1) {
-            out[i] = lev_one(ps, ms, ts, ns, s1, s2, &pm, bound);
+            out[i] = lev_one(ms, ts, es, ns, s1, s2, &pm, bound);
         } else {
-            out[i] = osa_one(ps, ms, ts, ns, s1, s2, s3, s4, &pm, bound);
+            out[i] = osa_one(ms, ts, es, ns, s1, s2, s3, s4, &pm, bound);
         }
     }
     free(s1); free(s2); free(s3); free(s4); arena_free(&ar);
     return 0;
 }
 
+int batch_metric_bounded(int kind,
+                         const uint32_t *pat, const int64_t *pat_off,
+                         const uint32_t *txt, const int64_t *txt_off,
+                         int64_t n_pairs, int64_t *out,
+                         const int64_t *bounds) {
+    return batch_metric_bounded_es(kind, pat, pat_off, txt, txt_off,
+                                   n_pairs, out, bounds, 4);
+}
+
 int batch_metric(int kind,
                  const uint32_t *pat, const int64_t *pat_off,
                  const uint32_t *txt, const int64_t *txt_off,
                  int64_t n_pairs, int64_t *out) {
-    return batch_metric_bounded(kind, pat, pat_off, txt, txt_off,
-                                n_pairs, out, NULL);
+    return batch_metric_bounded_es(kind, pat, pat_off, txt, txt_off,
+                                   n_pairs, out, NULL, 4);
 }
 
 /* partial_ratio support: out[i] = max over all length-m windows of txt
@@ -408,12 +428,12 @@ int batch_partial_lcs(const uint32_t *pat, const int64_t *pat_off,
               && (p == last_pat
                   || memcmp(p, last_pat,
                             (size_t)m * sizeof(uint32_t)) == 0))) {
-            pm_build(&pm, &ar, p, m, (m + 63) >> 6);
+            pm_build(&pm, &ar, p, 4, m, (m + 63) >> 6);
             have_pm = 1; last_pat = p; last_m = m;
         }
         int64_t best = 0;
         for (int64_t start = 0; start + m <= n; start++) {
-            int64_t l = lcs_one(p, m, t + start, m, S, &pm, -1);
+            int64_t l = lcs_one(m, t + start, 4, m, S, &pm, -1);
             if (l > best) {
                 best = l;
                 if (best == m) break;
