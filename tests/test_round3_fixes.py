@@ -120,6 +120,38 @@ def test_cc_stats_surfaced(spark, tmp_path):
     assert m["extra"]["driver_finish_threshold"] == 1_000_000
 
 
+def test_native_uint8_path_parity():
+    """The uint8 ASCII fast path through the C batch kernels is
+    bit-exact with the scalar kernels, including unicode fallback and
+    mixed ascii/unicode sides (the wrapper widens the narrow side)."""
+    from fuzzspark.kernels import _native
+    from fuzzspark.kernels.batch import batch_scores
+    from fuzzspark.kernels.fuzz import ratio_raw
+    from fuzzspark.kernels.metrics import (levenshtein_distance_raw,
+                                           osa_distance_raw)
+    if _native.get_lib() is None:
+        pytest.skip("no compiler")
+    rng = np.random.default_rng(31)
+
+    def rand_s(k, lo=32, hi=126):
+        return "".join(chr(int(c)) for c in rng.integers(lo, hi + 1, k))
+
+    s1 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)]
+    s2 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)]
+    # sprinkle unicode on one side, both sides, and empties
+    s1 += ["καλημέρα κόσμε", "abcdef", "", "αβγ"]
+    s2 += ["καλημερα κοσμε", "αβγdef", "xyz", ""]
+    a1 = np.array(s1, dtype=object)
+    a2 = np.array(s2, dtype=object)
+    got_r = batch_scores("ratio", "normalized_similarity", a1, a2)
+    got_l = batch_scores("levenshtein", "distance", a1, a2)
+    got_o = batch_scores("osa", "distance", a1, a2)
+    for i, (a, b) in enumerate(zip(s1, s2)):
+        assert got_r[i] == ratio_raw(a, b)
+        assert got_l[i] == levenshtein_distance_raw(a, b)
+        assert got_o[i] == osa_distance_raw(a, b)
+
+
 def test_jw_prefilter_high_weight_not_suppressing():
     """ADVICE: with prefix_weight > 0.25 the jw length-prune formula is
     no longer an upper bound; the prefilter must not prune (TRUE for
