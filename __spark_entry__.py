@@ -417,6 +417,59 @@ def q_streaming_dedup(spark, sf_dir):
     return spark.createDataFrame(out, schema="content_sha256: string")
 
 
+def q_streaming_windows(spark, sf_dir):
+    """Watermarked streaming event-time windowed aggregation under the
+    driver gate: the events table is replayed as a file stream through
+    streaming_windowed_agg (update mode), the sink keeps every emit
+    with its batch id, and last-write-wins per (window, group) equals
+    the batch aggregate over non-late rows — with a replay-safe
+    watermark no row is late, so the oracle is the plain batch GROUP
+    BY.  Watermark EVICTION/late-drop semantics are pinned separately
+    by tests/test_streaming.py (checkpointed two-run replay)."""
+    from fuzzspark.streaming import streaming_windowed_agg
+    # watermarks require TIMESTAMP (not NTZ); the cast is wall-clock
+    # identity in this UTC session and is cast back on output
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    src = tempfile.mkdtemp(prefix="fuzzspark_qsw_src_")
+    sink = tempfile.mkdtemp(prefix="fuzzspark_qsw_sink_")
+    ck = tempfile.mkdtemp(prefix="fuzzspark_qsw_ck_")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    agg = streaming_windowed_agg(stream, watermark="36500 days")
+
+    def write_batch(batch_df, bid):
+        if not batch_df.isEmpty():
+            batch_df.withColumn("_bid", F.lit(int(bid))) \
+                    .write.mode("append").parquet(sink)
+
+    q = (agg.writeStream.foreachBatch(write_batch)
+         .outputMode("update").option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    try:
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming_windows availableNow query did "
+                               "not finish in 300s; sink would be partial")
+        from pyspark.sql import Window
+        w = Window.partitionBy("window_start", "event_type") \
+                  .orderBy(F.desc("_bid"))
+        out = (spark.read.parquet(sink)
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1)
+               .select(F.col("window_start").cast("timestamp_ntz")
+                       .alias("window_start"), "event_type", "n_events",
+                       "sum_value").toPandas())
+    finally:
+        import shutil
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+    return spark.createDataFrame(
+        out, schema="window_start: timestamp_ntz, event_type: string, "
+                    "n_events: long, sum_value: double")
+
+
 def q_streaming_match(spark, sf_dir):
     """Streaming fuzzy match under the driver gate: the odd-doc half of
     the corpus is replayed as a file stream and matched, micro-batch by
@@ -606,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_near": q_dedup_near,
         "streaming_dedup": q_streaming_dedup,
         "streaming_match": q_streaming_match,
+        "streaming_windows": q_streaming_windows,
         "linkage_clusters": q_linkage_clusters,
     }
 
@@ -1322,6 +1376,12 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
         "minhash_candidates": _minhash_oracle_sql(),
         "dedup_near": _dedup_corpus_oracle_sql(),
         "streaming_match": _streaming_match_oracle_sql(),
+        # last-write-wins per streamed window == the batch aggregate
+        # (update-mode emits; replay-safe watermark -> no late rows)
+        "streaming_windows":
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "ROUND(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2",
         "linkage_clusters": _linkage_oracle_sql(),
         # lsh_cosine_topk: no DuckDB twin (float random-hyperplane LSH —
         # FP reduction order is inherently non-SQL) -> rows-only driver

@@ -14,6 +14,9 @@ grows by commits):
 * ``streaming_ingest_linkage`` — end-to-end: new files scored against
   the accumulated corpus, match edges appended to a parquet sink that
   the batch connected-components job folds in on the next run.
+* ``streaming_windowed_agg``  — watermarked event-time tumbling-window
+  aggregation (update mode; last-write-wins per window equals the
+  batch aggregate over non-late rows).
 """
 
 from .ops import (  # noqa: F401
@@ -21,4 +24,5 @@ from .ops import (  # noqa: F401
     streaming_stateful_dedup,
     streaming_fuzzy_match,
     streaming_ingest_linkage,
+    streaming_windowed_agg,
 )

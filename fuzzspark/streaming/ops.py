@@ -11,7 +11,8 @@ from fuzzspark.functions import length_prefilter, scorer_column, sha256_column
 from fuzzspark.pipeline.blocking import block_keys
 
 __all__ = ["streaming_exact_dedup", "streaming_fuzzy_match",
-           "streaming_ingest_linkage", "streaming_stateful_dedup"]
+           "streaming_ingest_linkage", "streaming_stateful_dedup",
+           "streaming_windowed_agg"]
 
 
 def streaming_exact_dedup(stream: DataFrame, *, content_col: str = "content",
@@ -114,6 +115,32 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
         stream, reference, scorer=scorer, threshold=threshold,
         sink_dir=os.path.join(workdir, "edges"),
         checkpoint_dir=os.path.join(workdir, "_checkpoint"))
+
+
+def streaming_windowed_agg(stream: DataFrame, *, ts_col: str = "ts",
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes",
+                           group_cols=("event_type",),
+                           value_col: str = "value") -> DataFrame:
+    """Watermarked event-time tumbling-window aggregation — the
+    streaming twin of the batch event_windows query: per (window x
+    group) counts, distinct-user count is NOT streamable exactly
+    (count distinct needs full state), so the streaming surface carries
+    count + sum; the watermark bounds state (windows older than the
+    watermark are finalized and evicted) and drops late rows.
+
+    Write with ``update`` output mode: each micro-batch emits the
+    CURRENT aggregate of every window it touched, so a last-write-wins
+    read per (window, group) key equals the batch aggregate over all
+    non-late rows — which makes the operator exactly checkable against
+    the batch relation (q_streaming_windows)."""
+    cols = [F.window(ts_col, window).alias("w"), *group_cols]
+    return (stream.withWatermark(ts_col, watermark)
+            .groupBy(*cols)
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum(value_col), 4).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"), *group_cols,
+                    "n_events", "sum_value"))
 
 
 def _stateful_dedup_step(key, pdf_iter, state, id_col: str,

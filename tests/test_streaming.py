@@ -173,3 +173,107 @@ def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
                               "event_type", "n_events", "sum_value")
                       .collect())}
     assert got == want and len(got) > 0
+
+
+def test_streaming_windowed_agg_operator_update_mode(spark, tmp_path):
+    """The exported streaming_windowed_agg operator in update mode:
+    last-write-wins per (window, group) across micro-batch emits equals
+    the batch aggregate (the property the streaming_windows driver
+    query and its DuckDB oracle rely on)."""
+    from fuzzspark.streaming import streaming_windowed_agg
+    src = str(tmp_path / "ev")
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    events.write.parquet(src, mode="overwrite")
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    agg = streaming_windowed_agg(stream, watermark="36500 days")
+    sink = str(tmp_path / "sink")
+
+    def wb(bdf, bid):
+        if not bdf.isEmpty():
+            bdf.withColumn("_bid", F.lit(int(bid))) \
+               .write.mode("append").parquet(sink)
+
+    q = (agg.writeStream.foreachBatch(wb).outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300)
+    from pyspark.sql import Window
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("_bid"))
+    got = {(r["window_start"], r["event_type"]): (r["n_events"],
+                                                  r["sum_value"])
+           for r in (spark.read.parquet(sink)
+                     .withColumn("_rn", F.row_number().over(w))
+                     .where("_rn = 1").collect())}
+    want = {(r["w"]["start"], r["event_type"]): (r["n"], r["s"])
+            for r in (events.groupBy(F.window("ts", "1 hour").alias("w"),
+                                     "event_type")
+                      .agg(F.count("*").alias("n"),
+                           F.round(F.sum("value"), 4).alias("s"))
+                      .collect())}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_windowed_agg_drops_late_rows(spark, tmp_path):
+    """Watermark semantics: a second checkpointed availableNow run sees
+    the watermark persisted by the first run, so a row older than
+    (max_seen_ts - delay) is DROPPED — the state-size/late-data knob at
+    scale.  An on-time row in the same second run still lands."""
+    import pandas as pd
+
+    from fuzzspark.streaming import streaming_windowed_agg
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    sink = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, value double")
+                  .parquet(src))
+        agg = streaming_windowed_agg(stream, watermark="30 minutes")
+
+        def wb(bdf, bid):
+            if not bdf.isEmpty():
+                bdf.withColumn("_bid", F.lit(int(bid))) \
+                   .write.mode("append").parquet(sink)
+
+        q = (agg.writeStream.foreachBatch(wb).outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+
+    def write_rows(name, rows):
+        import glob
+        import shutil
+        pdf = pd.DataFrame(rows, columns=["ts", "event_type", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        staging = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(pdf).coalesce(1).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type", "value").write.parquet(staging, mode="overwrite")
+        # the file stream source lists files directly under src
+        part = glob.glob(os.path.join(staging, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    # run 1: advance the watermark to 11:30 (max 12:00 - 30 min)
+    write_rows("f1", [("2026-01-01 10:10:00", "a", 1.0),
+                      ("2026-01-01 12:00:00", "a", 2.0)])
+    run_once()
+    # run 2: 10:20 is before the persisted watermark -> dropped;
+    # 12:30 is on time -> lands
+    write_rows("f2", [("2026-01-01 10:20:00", "a", 100.0),
+                      ("2026-01-01 12:30:00", "a", 4.0)])
+    run_once()
+
+    from pyspark.sql import Window
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("_bid"))
+    got = {r["window_start"].strftime("%H:%M"): (r["n_events"],
+                                                 r["sum_value"])
+           for r in (spark.read.parquet(sink)
+                     .withColumn("_rn", F.row_number().over(w))
+                     .where("_rn = 1").collect())}
+    # late 100.0 row DROPPED; on-time 12:30 row joined the 12:00 window
+    assert got == {"10:00": (1, 1.0), "12:00": (2, 6.0)}, got
