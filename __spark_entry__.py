@@ -332,9 +332,11 @@ def q_seq_levenshtein(spark, sf_dir):
 
 def q_lsh_cosine_topk(spark, sf_dir):
     """Scale-path ANN: sign-random-projection LSH bucketing bounds the
-    per-query candidate set (rows-only: the hash family is not
-    SQL-expressible; recall >= 0.9 vs the exact twin is pinned in
-    tests/test_round2_fixes.py)."""
+    per-query candidate set.  The hyperplanes are integer-quantized
+    (similarity.LSH_H_SCALE/LSH_X_SCALE) so band keys are pure int64
+    arithmetic and the DuckDB oracle re-derives them bit-exactly;
+    recall >= 0.9 vs the exact twin is pinned in
+    tests/test_round2_fixes.py."""
     from fuzzspark.extras.similarity import lsh_cosine_topk
     e = _t(spark, sf_dir, "embeddings")
     dim = len(e.select("embedding").first()[0])
@@ -824,6 +826,50 @@ def _minhash_cte() -> str:
 
 def _minhash_oracle_sql() -> str:
     return f"WITH {_minhash_cte()} SELECT left_id, right_id FROM cand"
+
+
+def _lsh_oracle_sql(dim: int = 64, n_bands: int = 16, bits_per_band: int = 6,
+                    seed: int = 4242, k: int = 5) -> str:
+    """DuckDB twin of extras.similarity.lsh_cosine_topk: the integer-
+    quantized hyperplanes (similarity._hyperplanes, the SAME seeded
+    matrix) are inlined as literals; band keys are pure int64 arithmetic
+    (floor-quantized embedding . integer hyperplane > 0), identical to
+    the numpy path, so bucketing is bit-exact.  Cosine over the shared-
+    band candidates is rounded to 5 decimals on both sides (same recipe
+    as the ann_cosine_topk oracle)."""
+    from fuzzspark.extras.similarity import (LSH_X_SCALE, _hyperplanes)
+    H = _hyperplanes(dim, n_bands * bits_per_band, seed)
+    hrows = ", ".join(
+        f"({i}, [{', '.join(str(v) for v in H[i])}])" for i in range(len(H)))
+    return f"""
+WITH hp AS (SELECT * FROM (VALUES {hrows}) AS t(hid, h)),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        list_transform(embedding::DOUBLE[],
+            x -> CAST(floor(x * {LSH_X_SCALE}.0) AS BIGINT)) AS xq
+        FROM embeddings),
+sig AS (SELECT vec_id, hid,
+        CASE WHEN list_sum(list_transform(list_zip(h, xq),
+             p -> p[1] * p[2])) > 0 THEN 1 ELSE 0 END AS bit
+        FROM emb CROSS JOIN hp),
+keys AS (SELECT vec_id,
+         CAST(hid // {bits_per_band} AS BIGINT) * 4294967296 +
+         SUM(bit * (1::BIGINT << (hid % {bits_per_band}))) AS bkey
+         FROM sig GROUP BY vec_id, hid // {bits_per_band}),
+qk AS (SELECT vec_id AS query_id, bkey FROM keys WHERE vec_id % 50 = 0),
+ck AS (SELECT vec_id AS cand_id, bkey FROM keys),
+cand AS (SELECT DISTINCT query_id, cand_id FROM qk JOIN ck USING (bkey)
+         WHERE query_id != cand_id),
+s AS (SELECT query_id, cand_id,
+      ROUND(list_dot_product(qe.e, ce.e) /
+            (sqrt(list_dot_product(qe.e, qe.e)) *
+             sqrt(list_dot_product(ce.e, ce.e))), 5) AS cos
+      FROM cand JOIN emb qe ON cand.query_id = qe.vec_id
+                JOIN emb ce ON cand.cand_id = ce.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY cos DESC, cand_id ASC) AS rank FROM s)
+SELECT query_id, cand_id, cos, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
 
 
 def _dedup_corpus_oracle_sql(jaccard_cutoff: float = 0.7) -> str:
@@ -1383,7 +1429,7 @@ FROM documents d LEFT JOIN packed p ON d.doc_id = p.doc_id
             "CAST(count(*) AS BIGINT) AS n_events, "
             "ROUND(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2",
         "linkage_clusters": _linkage_oracle_sql(),
-        # lsh_cosine_topk: no DuckDB twin (float random-hyperplane LSH —
-        # FP reduction order is inherently non-SQL) -> rows-only driver
-        # check; recall >= 0.9 vs the exact twin pinned in pytest.
+        # round 4: integer-quantized hyperplanes make the LSH band keys
+        # pure int64 arithmetic -> bit-exact DuckDB twin (was rows-only)
+        "lsh_cosine_topk": _lsh_oracle_sql(),
     }

@@ -53,22 +53,41 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
             .select("query_id", "cand_id", "cos", "rank"))
 
 
+# Integer quantization scales.  Hyperplanes are seeded Gaussians rounded
+# to integers (H_SCALE resolution); input vectors are floor-quantized at
+# X_SCALE resolution.  Sign(H_int . x_int) is then PURE INTEGER
+# arithmetic — bit-exactly reproducible in any SQL engine (the DuckDB
+# oracle inlines the same H as literals), unlike a float dot product
+# whose sign can flip with reduction order.  Quantization at these
+# resolutions leaves the sign-random-projection recall statistically
+# unchanged (hyperplane directions move by ~1/1024).  Assumes
+# unit-scale embeddings (|x| ~ 1): |dot| <= dim * 4*H_SCALE * X_SCALE
+# stays far inside int64 for dim <= 2^20.
+LSH_H_SCALE = 1024
+LSH_X_SCALE = 1 << 20
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    """Integer-quantized random hyperplanes (int64, seeded)."""
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_bits, dim))
+    return np.round(rng.standard_normal((n_bits, dim))
+                    * LSH_H_SCALE).astype(np.int64)
 
 
 def lsh_band_udf(dim: int, n_bands: int = 4, bits_per_band: int = 8,
                  seed: int = 4242):
     """pandas UDF: embedding -> array<long> of band keys (sign-random-
-    projection LSH; Charikar 2002 public construction)."""
+    projection LSH; Charikar 2002 public construction).  Band keys are
+    integer-exact (see quantization note above), so the same keys can be
+    re-derived in SQL for oracle checking."""
     H = _hyperplanes(dim, n_bands * bits_per_band, seed)
 
     @pandas_udf("array<long>")
     def _udf(emb: pd.Series) -> pd.Series:
         out = []
         mat = np.stack([np.asarray(e, dtype=np.float64) for e in emb])
-        signs = (mat @ H.T) > 0  # (n, bands*bits)
+        xq = np.floor(mat * float(LSH_X_SCALE)).astype(np.int64)
+        signs = (xq @ H.T) > 0  # (n, bands*bits)
         weights = 1 << np.arange(bits_per_band, dtype=np.int64)
         for row in signs:
             bands = row.reshape(n_bands, bits_per_band)
