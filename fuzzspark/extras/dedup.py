@@ -30,14 +30,34 @@ __all__ = ["exact_dup_clusters", "simhash_udf", "simhash64",
 
 
 def exact_dup_clusters(df: DataFrame, content_col: str = "content",
-                       id_col: str = "id") -> DataFrame:
-    """(content_sha, dup_count, keep_id, member_ids) for groups > 1."""
-    return (df.groupBy(F.sha2(F.col(content_col).cast("binary"), 256)
-                       .alias("content_sha"))
-            .agg(F.count("*").alias("dup_count"),
-                 F.min(id_col).alias("keep_id"),
-                 F.sort_array(F.collect_list(id_col)).alias("member_ids"))
-            .where(F.col("dup_count") > 1))
+                       id_col: str = "id",
+                       max_members: int = 128) -> DataFrame:
+    """(content_sha, dup_count, keep_id, member_ids) for groups > 1.
+
+    ``member_ids`` is capped at the ``max_members`` SMALLEST ids per
+    group (``dup_count``/``keep_id`` still cover the whole group): at
+    corpus scale one boilerplate file duplicated 10^7 times must not
+    materialize a 10^7-element array row.  The cap is enforced BEFORE
+    aggregation via a row_number window (spill-safe WindowExec), so the
+    collect_list buffer itself is bounded — a post-hoc slice() would
+    still build the unbounded list in the aggregation buffer.  The
+    window and the groupBy share the content_sha hash partitioning, so
+    this stays a single shuffle.
+    """
+    from pyspark.sql import Window
+    sha = F.sha2(F.col(content_col).cast("binary"), 256)
+    base = df.select(sha.alias("content_sha"), F.col(id_col).alias("_id"))
+    w = Window.partitionBy("content_sha").orderBy("_id")
+    wall = Window.partitionBy("content_sha")
+    ranked = base.select(
+        "content_sha", "_id",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(wall).alias("dup_count"),
+        F.min("_id").over(wall).alias("keep_id"))
+    return (ranked.where((F.col("dup_count") > 1)
+                         & (F.col("_rn") <= max_members))
+            .groupBy("content_sha", "dup_count", "keep_id")
+            .agg(F.sort_array(F.collect_list("_id")).alias("member_ids")))
 
 
 def simhash64(text: str) -> int:

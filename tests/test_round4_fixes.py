@@ -1,0 +1,78 @@
+"""Round-4 hardening tests (VERDICT.md round-3 action items)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------- item 3
+def test_exact_dup_member_cap_pathological_group(spark):
+    """A 10^5-dup group must not materialize an unbounded member_ids
+    array: the cap bounds both the output row and the collect_list
+    aggregation buffer (row_number pre-filter)."""
+    from fuzzspark.extras.dedup import exact_dup_clusters
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.col("id"), F.lit("boilerplate license header").alias("content"))
+    small = spark.createDataFrame(
+        [(1_000_000, "unique doc"), (1_000_001, "twin"), (1_000_002, "twin")],
+        "id: long, content: string")
+    out = exact_dup_clusters(hot.unionByName(small), max_members=128)
+    # single shuffle: window + groupBy share the content_sha partitioning
+    # (capture the plan BEFORE execution — post-AQE explain repeats the
+    # tree as Final + Initial plan)
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    tree = buf.getvalue().split("\n\n(")[0]  # plan tree, not node details
+    assert tree.count("Exchange") == 1
+    rows = {r["dup_count"]: r for r in out.collect()}
+    assert set(rows) == {n_hot, 2}
+    big = rows[n_hot]
+    assert big["keep_id"] == 0
+    assert len(big["member_ids"]) == 128           # capped
+    assert big["member_ids"] == list(range(128))   # the SMALLEST ids
+    twin = rows[2]
+    assert twin["member_ids"] == [1_000_001, 1_000_002]  # small: complete
+
+
+def test_exact_dup_clusters_default_shape_unchanged(spark):
+    from fuzzspark.extras.dedup import exact_dup_clusters
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id: long, content: string")
+    rows = exact_dup_clusters(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["dup_count"] == 2
+    assert rows[0]["keep_id"] == 1
+    assert rows[0]["member_ids"] == [1, 2]
+    assert set(rows[0].asDict()) == {"content_sha", "dup_count",
+                                     "keep_id", "member_ids"}
+
+
+# --------------------------------------------------------------- item 2
+def test_lsh_band_keys_integer_exact(spark):
+    """Quantized band keys must be reproducible by pure integer
+    arithmetic (the property the DuckDB oracle relies on)."""
+    from fuzzspark.extras.similarity import (LSH_X_SCALE, _hyperplanes,
+                                             lsh_band_udf)
+    dim, n_bands, bits, seed = 8, 4, 6, 777
+    rng = np.random.default_rng(123)
+    vecs = [(i, rng.uniform(-1, 1, dim).astype(np.float32).tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id: long, embedding: array<float>")
+    udf = lsh_band_udf(dim, n_bands, bits, seed)
+    got = {r["vec_id"]: r["keys"] for r in df.select(
+        "vec_id", udf(F.col("embedding").cast("array<double>"))
+        .alias("keys")).collect()}
+    H = _hyperplanes(dim, n_bands * bits, seed)
+    assert H.dtype == np.int64
+    for vid, emb in vecs:
+        x = np.asarray(emb, dtype=np.float32).astype(np.float64)
+        xq = np.floor(x * float(LSH_X_SCALE)).astype(np.int64)
+        signs = (H @ xq) > 0  # pure integer dot
+        keys = []
+        for b in range(n_bands):
+            key = sum(int(signs[b * bits + j]) << j for j in range(bits))
+            keys.append((b << 32) + key)
+        assert got[vid] == keys
