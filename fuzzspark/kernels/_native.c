@@ -588,88 +588,103 @@ int batch_jaro(const uint32_t *pat, const int64_t *pat_off,
     return rc;
 }
 
-/* ------------- Damerau-Levenshtein (Lowrance-Wagner) ---------------- */
-/* Unrestricted adjacent transpositions; parity with
- * src/distance/damerau_levenshtein.rs:111-168. Full (m+2)x(n+2) matrix
- * — callers strip common affixes first and cap the cell count. */
+/* ------------- Damerau-Levenshtein (Zhao-Sahni linear space) -------- */
+/* Unrestricted adjacent transpositions.  Linear-space DP after
+ * "A linear space string correction algorithm using the
+ * Damerau-Levenshtein distance" (Zhao & Sahni, BMC Bioinformatics
+ * 2019): three rows (current, previous, "FR" transposition row) plus a
+ * char -> last-pattern-row map and two scalars replace the full
+ * (m+2)x(n+2) matrix, so arbitrarily long inputs need O(n + sigma)
+ * working memory — no cell cap, no caller fallback.  Same cost model
+ * as the reference kernel (src/distance/damerau_levenshtein.rs:111-168,
+ * the same published algorithm).  max_cells is kept in the signature
+ * for ABI stability but is unused. */
 
 int batch_damerau(const uint32_t *pat, const int64_t *pat_off,
                   const uint32_t *txt, const int64_t *txt_off,
                   int64_t n_pairs, int64_t *out, int64_t max_cells) {
-    int64_t cap_rows = 0, cap_cells = 0;
-    int32_t *d = NULL;
-    /* last-occurrence map per pattern: reuse CharMap machinery inline */
+    (void)max_cells;
+    int64_t mmax = 0, nmax = 0;
     for (int64_t i = 0; i < n_pairs; i++) {
-        const uint32_t *a = pat + pat_off[i];
         int64_t m = pat_off[i + 1] - pat_off[i];
-        const uint32_t *b = txt + txt_off[i];
         int64_t n = txt_off[i + 1] - txt_off[i];
-        if (m == 0) { out[i] = n; continue; }
-        if (n == 0) { out[i] = m; continue; }
-        int64_t cells = (m + 2) * (n + 2);
-        if (cells > max_cells) { out[i] = -1; continue; }  /* caller falls back */
-        if (cells > cap_cells) {
-            free(d);
-            d = (int32_t *)malloc((size_t)cells * sizeof(int32_t));
-            if (!d) return -1;
-            cap_cells = cells;
+        if (m > mmax) mmax = m;
+        if (n > nmax) nmax = n;
+    }
+    int64_t size = nmax + 2;
+    int64_t *r  = (int64_t *)malloc((size_t)size * sizeof(int64_t));
+    int64_t *r1 = (int64_t *)malloc((size_t)size * sizeof(int64_t));
+    int64_t *fr = (int64_t *)malloc((size_t)size * sizeof(int64_t));
+    uint32_t cap = 16;
+    while (cap < (uint32_t)(2 * (mmax > 0 ? mmax : 1))) cap <<= 1;
+    uint32_t *keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
+    int64_t *vals = (int64_t *)malloc((size_t)cap * sizeof(int64_t));
+    if (!r || !r1 || !fr || !keys || !vals) {
+        free(r); free(r1); free(fr); free(keys); free(vals);
+        return -1;
+    }
+    for (int64_t p = 0; p < n_pairs; p++) {
+        const uint32_t *a = pat + pat_off[p];
+        int64_t m = pat_off[p + 1] - pat_off[p];
+        const uint32_t *b = txt + txt_off[p];
+        int64_t n = txt_off[p + 1] - txt_off[p];
+        if (m == 0) { out[p] = n; continue; }
+        if (n == 0) { out[p] = m; continue; }
+        int64_t max_val = (m > n ? m : n) + 1;
+        for (int64_t j = 0; j < n + 2; j++) {
+            fr[j] = max_val;
+            r1[j] = max_val;
         }
-        (void)cap_rows;
-        int64_t W = n + 2;
-        int32_t maxdist = (int32_t)(m + n);
-        d[0 * W + 0] = maxdist;
-        for (int64_t x = 0; x <= m; x++) {
-            d[(x + 1) * W + 0] = maxdist;
-            d[(x + 1) * W + 1] = (int32_t)x;
-        }
-        for (int64_t y = 0; y <= n; y++) {
-            d[0 * W + (y + 1)] = maxdist;
-            d[1 * W + (y + 1)] = (int32_t)y;
-        }
-        /* da: char -> last row; small open-addressing map */
-        uint32_t cap = 16;
-        while (cap < (uint32_t)(2 * m)) cap <<= 1;
-        uint32_t *keys = (uint32_t *)malloc((size_t)cap * sizeof(uint32_t));
-        int32_t *vals = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
-        if (!keys || !vals) { free(keys); free(vals); free(d); return -1; }
+        r[0] = max_val;
+        for (int64_t j = 1; j < n + 2; j++) r[j] = j - 1;
         memset(keys, 0xFF, (size_t)cap * sizeof(uint32_t));
-        for (int64_t x = 1; x <= m; x++) {
-            int32_t db = 0;
-            uint32_t c1 = a[x - 1];
-            for (int64_t y = 1; y <= n; y++) {
-                uint32_t c2 = b[y - 1];
-                int32_t kk = 0;   /* da.get(c2, 0) */
-                {
+        for (int64_t i = 1; i <= m; i++) {
+            int64_t *tmp = r; r = r1; r1 = tmp;  /* rotate rows */
+            uint32_t c1 = a[i - 1];
+            int64_t last_col_id = -1;  /* last j with a[i-1] == b[j-1] */
+            int64_t last_i2l1 = r[1];  /* H[i-2][j-1] as j advances */
+            r[1] = i;
+            int64_t t = max_val;       /* H[i-2][l-1] at last match col */
+            for (int64_t j = 1; j <= n; j++) {
+                uint32_t c2 = b[j - 1];
+                int64_t diag = r1[j] + (c1 != c2 ? 1 : 0);
+                int64_t left = r[j] + 1;
+                int64_t up = r1[j + 1] + 1;
+                int64_t temp = diag < left ? diag : left;
+                if (up < temp) temp = up;
+                if (c1 == c2) {
+                    last_col_id = j;
+                    fr[j + 1] = r1[j - 1];  /* H[k-1][j-2] for col j */
+                    t = last_i2l1;
+                } else {
+                    int64_t k = -1;  /* last pattern row containing c2 */
                     uint32_t slot = hash32(c2) & (cap - 1);
                     while (1) {
                         uint32_t key = keys[slot];
-                        if (key == c2) { kk = vals[slot]; break; }
+                        if (key == c2) { k = vals[slot]; break; }
                         if (key == EMPTY_KEY) break;
                         slot = (slot + 1) & (cap - 1);
                     }
+                    int64_t l = last_col_id;
+                    if (j - l == 1) {
+                        int64_t transpose = fr[j + 1] + (i - k);
+                        if (transpose < temp) temp = transpose;
+                    } else if (i - k == 1) {
+                        int64_t transpose = t + (j - l);
+                        if (transpose < temp) temp = transpose;
+                    }
                 }
-                int32_t l = db;
-                int32_t cost = 1;
-                if (c1 == c2) { cost = 0; db = (int32_t)y; }
-                int32_t v = d[x * W + y] + cost;
-                int32_t v2 = d[(x + 1) * W + y] + 1;
-                if (v2 < v) v = v2;
-                int32_t v3 = d[x * W + (y + 1)] + 1;
-                if (v3 < v) v = v3;
-                int32_t v4 = d[kk * W + l]
-                    + (int32_t)(x - kk - 1) + 1 + (int32_t)(y - l - 1);
-                if (v4 < v) v = v4;
-                d[(x + 1) * W + (y + 1)] = v;
+                last_i2l1 = r[j + 1];
+                r[j + 1] = temp;
             }
-            /* da[c1] = x */
+            /* last_row_id[c1] = i */
             uint32_t slot = hash32(c1) & (cap - 1);
             while (keys[slot] != EMPTY_KEY && keys[slot] != c1)
                 slot = (slot + 1) & (cap - 1);
-            keys[slot] = c1; vals[slot] = (int32_t)x;
+            keys[slot] = c1; vals[slot] = i;
         }
-        out[i] = d[(m + 1) * W + (n + 1)];
-        free(keys); free(vals);
+        out[p] = r[n + 1];
     }
-    free(d);
+    free(r); free(r1); free(fr); free(keys); free(vals);
     return 0;
 }

@@ -251,8 +251,9 @@ def native_jaro(pat_strs: list[str], txt_strs: list[str]) -> np.ndarray | None:
 
 def native_damerau(pat_strs: list[str], txt_strs: list[str],
                    max_cells: int = 1 << 24) -> np.ndarray | None:
-    """-1 entries mark pairs whose DP matrix exceeds max_cells (caller
-    falls back to the python DP for those)."""
+    """Zhao-Sahni linear-space DL kernel: any input length, O(n + sigma)
+    working memory.  max_cells is retained for ABI stability but unused
+    (the old full-matrix kernel's -1 oversized marker is gone)."""
     lib = get_lib()
     if lib is None:
         return None

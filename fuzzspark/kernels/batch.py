@@ -400,14 +400,14 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             "osa", [(s1[k], s2[k]) for k in idx], bounds=_dist_bounds())
         raw[idx] = _fix_abandoned(got)
     elif scorer == "damerau_levenshtein":
+        # Zhao-Sahni linear-space C kernel: O(n + sigma) memory, so no
+        # oversized-matrix fallback exists any more; the python DP only
+        # covers the no-compiler environment.
         stripped = [strip_common_affix(s1[k], s2[k]) for k in idx]
         got = _native.native_damerau([a for a, _ in stripped],
                                      [b for _, b in stripped])
         if got is not None:
             raw[idx] = got
-            for pos, k in enumerate(idx):  # oversized DP fell back
-                if got[pos] < 0:
-                    raw[k] = damerau_distance_raw(s1[k], s2[k])
         else:
             for k in idx:
                 raw[k] = damerau_distance_raw(s1[k], s2[k])

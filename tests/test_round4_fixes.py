@@ -50,6 +50,62 @@ def test_exact_dup_clusters_default_shape_unchanged(spark):
                                      "keep_id", "member_ids"}
 
 
+# --------------------------------------------------------------- item 4
+def test_damerau_zhao_sahni_long_strings():
+    """The C kernel is now Zhao-Sahni linear-space: long (>64-char,
+    formerly over-the-cell-cap) pairs must agree with the scalar python
+    DP, including transposition-heavy and unicode inputs."""
+    import random
+    from fuzzspark.kernels import _native
+    from fuzzspark.kernels.metrics import damerau_distance_raw
+    if _native.get_lib() is None:
+        pytest.skip("no C compiler in this environment")
+    random.seed(7)
+
+    def rnd(n, alpha="abcdefghij"):
+        return "".join(random.choice(alpha) for _ in range(n))
+
+    pairs = []
+    for _ in range(40):  # long, transposition-heavy
+        n = random.randint(100, 400)
+        s = rnd(n)
+        lst = list(s)
+        for _ in range(random.randint(1, 15)):
+            i = random.randrange(max(1, n - 1))
+            lst[i], lst[i + 1] = lst[i + 1], lst[i]
+        pairs.append((s, "".join(lst)))
+    for _ in range(60):  # random unequal lengths across the old cap
+        pairs.append((rnd(random.randint(0, 200)),
+                      rnd(random.randint(0, 200))))
+    pairs += [("Иванко", "Петрунко"), ("CA", "ABC"), ("CA", "AC"),
+              ("", ""), ("a" * 5000, "a" * 4999 + "b")]
+    got = _native.native_damerau([a for a, _ in pairs],
+                                 [b for _, b in pairs])
+    assert got is not None
+    for i, (a, b) in enumerate(pairs):
+        assert int(got[i]) == damerau_distance_raw(a, b), (a[:40], b[:40])
+
+
+def test_damerau_batch_scalar_parity_long(spark):
+    """batch_scores == scalar python DP through the full dispatch on
+    >64-char pairs (the path that used to hit the per-pair fallback)."""
+    import random
+    import pandas as pd
+    from fuzzspark.kernels.batch import batch_scores
+    from fuzzspark.kernels.metrics import damerau_distance_raw
+    random.seed(11)
+
+    def rnd(n):
+        return "".join(random.choice("abcdefg") for _ in range(n))
+
+    a = [rnd(random.randint(80, 300)) for _ in range(50)]
+    b = [rnd(random.randint(80, 300)) for _ in range(50)]
+    out = batch_scores("damerau_levenshtein", "distance",
+                       pd.Series(a), pd.Series(b))
+    for i in range(len(a)):
+        assert int(out[i]) == damerau_distance_raw(a[i], b[i])
+
+
 # --------------------------------------------------------------- item 2
 def test_lsh_band_keys_integer_exact(spark):
     """Quantized band keys must be reproducible by pure integer
