@@ -397,6 +397,133 @@ int batch_metric(int kind,
                                    n_pairs, out, NULL, 4);
 }
 
+/* ------------------- common affix lengths (round 4) ----------------- */
+/* mode 0 = common prefix, 1 = common suffix; cap > 0 bounds the scan
+ * (jaro_winkler's <= 4-char prefix boost).  Replaces the last per-row
+ * python char loops in the prefix/postfix/jw scorer tails
+ * (find_common_prefix/suffix, src/details/common.rs:39-62 analog). */
+int batch_affix(int mode, int64_t cap,
+                const void *pat, const int64_t *pat_off,
+                const void *txt, const int64_t *txt_off,
+                int64_t n_pairs, int64_t *out, int64_t elem_size) {
+    const int es = (int)elem_size;
+    for (int64_t p = 0; p < n_pairs; p++) {
+        const char *a = (const char *)pat + pat_off[p] * es;
+        int64_t m = pat_off[p + 1] - pat_off[p];
+        const char *b = (const char *)txt + txt_off[p] * es;
+        int64_t n = txt_off[p + 1] - txt_off[p];
+        int64_t lim = m < n ? m : n;
+        if (cap > 0 && cap < lim) lim = cap;
+        int64_t k = 0;
+        if (mode == 0) {
+            while (k < lim && elem_at(a, k, es) == elem_at(b, k, es)) k++;
+        } else {
+            while (k < lim
+                   && elem_at(a, m - 1 - k, es) == elem_at(b, n - 1 - k, es))
+                k++;
+        }
+        out[p] = k;
+    }
+    return 0;
+}
+
+/* -------- Levenshtein, hint-seeded Ukkonen band (round 4) ----------- */
+/* A classical diagonal-band DP (cells with |j - i| <= k only; exact
+ * whenever the true distance is <= k) seeded from score_hint and
+ * retried with doubling when the hint was too small — the reference's
+ * iterative band-growth strategy (src/distance/levenshtein.rs
+ * :1069-1089) on a classical band.  Per text char this costs
+ * (2k+1) ~6-op cells vs ceil(m/64) ~18-op words for the full
+ * bit-parallel kernel, so a tight hint on a long string wins big;
+ * pairs where the band cannot beat the full kernel return the -2
+ * marker and the caller routes them to batch_metric_bounded_es.
+ * Returned values are always EXACT distances; pairs proven above
+ * `bounds` return -1 (the bounded kernel's abandonment contract). */
+
+static int64_t lev_band_pass(const char *a, int64_t m, const char *b,
+                             int64_t n, int es, int64_t k,
+                             int32_t *prev, int32_t *cur) {
+    const int32_t INF = 1 << 29;
+    for (int64_t d = -k; d <= k; d++)
+        prev[d + k] = (d >= 0 && d <= n) ? (int32_t)d : INF;
+    for (int64_t i = 1; i <= m; i++) {
+        uint32_t ca = elem_at(a, i - 1, es);
+        for (int64_t d = -k; d <= k; d++) {
+            int64_t j = i + d;
+            if (j < 0 || j > n) { cur[d + k] = INF; continue; }
+            if (j == 0) { cur[d + k] = (int32_t)i; continue; }
+            /* diag D[i-1][j-1] -> prev[d]; up D[i-1][j] -> prev[d+1];
+             * left D[i][j-1] -> cur[d-1] */
+            int32_t v = prev[d + k]
+                + (ca != elem_at(b, j - 1, es) ? 1 : 0);
+            if (d + 1 <= k && prev[d + k + 1] + 1 < v)
+                v = prev[d + k + 1] + 1;
+            if (d - 1 >= -k && cur[d + k - 1] + 1 < v)
+                v = cur[d + k - 1] + 1;
+            cur[d + k] = v;
+        }
+        int32_t *tmp = prev; prev = cur; cur = tmp;
+    }
+    int32_t res = prev[(n - m) + k];  /* after final swap prev = row m */
+    return (res <= k) ? (int64_t)res : -1;
+}
+
+int batch_lev_hinted_es(const void *pat, const int64_t *pat_off,
+                        const void *txt, const int64_t *txt_off,
+                        int64_t n_pairs, int64_t *out,
+                        const int64_t *hints, const int64_t *bounds,
+                        int64_t elem_size) {
+    const int es = (int)elem_size;
+    int64_t cap = 0;
+    int32_t *prev = NULL, *cur = NULL;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const char *p = (const char *)pat + pat_off[i] * es;
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        const char *t = (const char *)txt + txt_off[i] * es;
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        /* strip common prefix + suffix (distance-invariant) */
+        int64_t lim = m < n ? m : n;
+        int64_t pre = 0;
+        while (pre < lim && elem_at(p, pre, es) == elem_at(t, pre, es)) pre++;
+        int64_t suf = 0;
+        while (suf < lim - pre
+               && elem_at(p, m - 1 - suf, es) == elem_at(t, n - 1 - suf, es))
+            suf++;
+        const char *ps = p + pre * es;
+        const char *ts = t + pre * es;
+        int64_t ms = m - pre - suf;
+        int64_t ns = n - pre - suf;
+        if (ms == 0 || ns == 0) { out[i] = ms == 0 ? ns : ms; continue; }
+        if (ms > ns) {  /* symmetric: shorter side as rows */
+            const char *tp = ps; ps = ts; ts = tp;
+            int64_t tl = ms; ms = ns; ns = tl;
+        }
+        int64_t bound = bounds ? bounds[i] : -1;
+        int64_t k = hints ? hints[i] : -1;
+        int64_t mind = ns - ms;
+        if (k < mind) k = mind;
+        if (k < 1) k = 1;
+        /* profitability gate (with headroom for one doubling) */
+        if (2 * k + 1 > ms / 4) { out[i] = -2; continue; }
+        for (;;) {
+            if (2 * k + 3 > cap) {
+                free(prev); free(cur);
+                cap = 2 * k + 3;
+                prev = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                cur = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                if (!prev || !cur) { free(prev); free(cur); return -1; }
+            }
+            int64_t r = lev_band_pass(ps, ms, ts, ns, es, k, prev, cur);
+            if (r >= 0) { out[i] = r; break; }
+            if (bound >= 0 && k >= bound) { out[i] = -1; break; }
+            k <<= 1;
+            if (2 * k + 1 > ms / 2) { out[i] = -2; break; }
+        }
+    }
+    free(prev); free(cur);
+    return 0;
+}
+
 /* partial_ratio support: out[i] = max over all length-m windows of txt
  * of LCS(pat, window).  Pattern masks are built ONCE per pattern and
  * shared by every window; early-exits on a perfect window.  Caller

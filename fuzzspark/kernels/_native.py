@@ -110,6 +110,30 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.batch_affix.restype = ctypes.c_int
+        lib.batch_affix.argtypes = [
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+        ]
+        lib.batch_lev_hinted_es.restype = ctypes.c_int
+        lib.batch_lev_hinted_es.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.batch_jaro.restype = ctypes.c_int
         lib.batch_jaro.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -217,6 +241,64 @@ def native_batch(kind: int, pat_strs: list[str], txt_strs: list[str],
     if rc != 0:  # pragma: no cover (allocation failure)
         return None
     return out
+
+
+def native_affix(mode: int, pat_strs: list[str], txt_strs: list[str],
+                 cap: int = 0) -> np.ndarray | None:
+    """Common affix length per pair (mode 0 = prefix, 1 = suffix);
+    cap > 0 bounds the scan.  None when no compiler is available."""
+    lib = get_lib()
+    if lib is None or not pat_strs:
+        return None if lib is None else np.zeros(0, dtype=np.int64)
+    pat, pat_off, p_es = _flatten_raw(pat_strs)
+    txt, txt_off, t_es = _flatten_raw(txt_strs)
+    if p_es != t_es:
+        if p_es == 1:
+            pat = pat.astype(np.uint32)
+        else:
+            txt = txt.astype(np.uint32)
+        p_es = t_es = 4
+    out = np.empty(len(pat_strs), dtype=np.int64)
+    rc = lib.batch_affix(
+        mode, cap,
+        pat.ctypes.data_as(ctypes.c_void_p), pat_off,
+        txt.ctypes.data_as(ctypes.c_void_p), txt_off,
+        len(pat_strs), out, p_es)
+    return out if rc == 0 else None
+
+
+def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
+                      hint: int, bounds: np.ndarray | None = None
+                      ) -> np.ndarray | None:
+    """Hint-seeded banded levenshtein (exact results): per pair the
+    diagonal band starts at ``hint`` and doubles until the distance is
+    found.  -2 entries mark pairs where banding cannot beat the full
+    bit-parallel kernel (caller recomputes those via native_batch);
+    -1 entries mark pairs proven above ``bounds`` (the bounded kernel's
+    abandonment contract).  None when no compiler is available."""
+    lib = get_lib()
+    if lib is None or not pat_strs:
+        return None if lib is None else np.zeros(0, dtype=np.int64)
+    pat, pat_off, p_es = _flatten_raw(pat_strs)
+    txt, txt_off, t_es = _flatten_raw(txt_strs)
+    if p_es != t_es:
+        if p_es == 1:
+            pat = pat.astype(np.uint32)
+        else:
+            txt = txt.astype(np.uint32)
+        p_es = t_es = 4
+    out = np.empty(len(pat_strs), dtype=np.int64)
+    hints = np.full(len(pat_strs), int(hint), dtype=np.int64)
+    b = (None if bounds is None
+         else np.ascontiguousarray(bounds, dtype=np.int64))
+    rc = lib.batch_lev_hinted_es(
+        pat.ctypes.data_as(ctypes.c_void_p), pat_off,
+        txt.ctypes.data_as(ctypes.c_void_p), txt_off,
+        len(pat_strs), out,
+        hints.ctypes.data_as(ctypes.c_void_p),
+        None if b is None else b.ctypes.data_as(ctypes.c_void_p),
+        p_es)
+    return out if rc == 0 else None
 
 
 def native_partial_lcs(pat_strs: list[str], txt_strs: list[str]

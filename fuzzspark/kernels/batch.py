@@ -310,7 +310,8 @@ def _partial_ratio_batch(pairs: list[tuple[str, str]]) -> np.ndarray:
 def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                weights=None, pad=False, prefix_weight=0.1,
                errors: str = "null", form: Optional[str] = None,
-               score_cutoff: Optional[float] = None
+               score_cutoff: Optional[float] = None,
+               score_hint: Optional[int] = None
                ) -> tuple[np.ndarray, np.ndarray]:
     """Exact raw canonical score per pair (distance for usize metrics,
     similarity for jaro family / composites).  Returns (raw, valid).
@@ -319,7 +320,8 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
     high-traffic paths (ratio-family similarity cutoffs, lev/osa
     distance cutoffs): abandoned pairs surface as values the final
     cutoff comparison provably suppresses — observable results are
-    identical to full computation."""
+    identical to full computation.  ``score_hint`` (raw distance) seeds
+    the banded levenshtein kernel; it never changes results."""
     n = len(s1)
     raw = np.full(n, np.nan)
     idx = np.flatnonzero(valid)
@@ -337,9 +339,28 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         return vals
 
     if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
-        got = _bitpar_family_distances(
-            "levenshtein", [(s1[k], s2[k]) for k in idx],
-            bounds=_dist_bounds())
+        bounds = _dist_bounds()
+        got = None
+        if score_hint is not None and len(idx) and _native.get_lib() is not None:
+            # hint-seeded banded kernel (reference band-doubling trick,
+            # src/distance/levenshtein.rs:1069-1089): exact values; -2
+            # marks pairs where the full bit-parallel kernel is cheaper
+            a = [s1[k] for k in idx]
+            b = [s2[k] for k in idx]
+            hinted = _native.native_lev_hinted(a, b, int(score_hint),
+                                               bounds)
+            if hinted is not None:
+                redo = np.flatnonzero(hinted == -2)
+                if len(redo):
+                    sub = _bitpar_family_distances(
+                        "levenshtein", [(a[j], b[j]) for j in redo],
+                        bounds=None if bounds is None else bounds[redo])
+                    hinted[redo] = sub
+                got = hinted
+        if got is None:
+            got = _bitpar_family_distances(
+                "levenshtein", [(s1[k], s2[k]) for k in idx],
+                bounds=bounds)
         raw[idx] = _fix_abandoned(got)
     elif scorer == "levenshtein":
         # batch-level weight reductions (src/distance/levenshtein.rs
@@ -435,37 +456,48 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                 raw[k] = fn(s1[k], s2[k])
         else:
             if scorer == "jaro_winkler":
-                # prefix boost (src/distance/jaro_winkler.rs:64-101)
-                for pos in range(len(idx)):
-                    sim = got[pos]
-                    if sim > 0.7:
-                        x, y = a[pos], b[pos]
-                        pfx = 0
-                        for c1, c2 in zip(x[:4], y[:4]):
-                            if c1 != c2:
-                                break
-                            pfx += 1
-                        got[pos] = sim + pfx * prefix_weight * (1.0 - sim)
+                # prefix boost (src/distance/jaro_winkler.rs:64-101),
+                # vectorized: <=4-char common prefix from the C affix
+                # scan, boost applied across the batch.  Same op order
+                # as the scalar path ((pfx*w)*(1-sim)) -> bit-identical.
+                pfx = _native.native_affix(0, a, b, cap=4)
+                if pfx is None:  # lib vanished mid-flight: scalar tail
+                    for pos in range(len(idx)):
+                        sim = got[pos]
+                        if sim > 0.7:
+                            p = 0
+                            for c1, c2 in zip(a[pos][:4], b[pos][:4]):
+                                if c1 != c2:
+                                    break
+                                p += 1
+                            got[pos] = sim + p * prefix_weight * (1.0 - sim)
+                else:
+                    got = np.where(
+                        got > 0.7,
+                        got + (pfx * prefix_weight) * (1.0 - got), got)
             raw[idx] = got
-    elif scorer == "prefix":
-        # canonical raw = distance = max(len) - common_prefix
-        for k in idx:
-            a, b = s1[k], s2[k]
-            p = 0
-            for c1, c2 in zip(a, b):
-                if c1 != c2:
-                    break
-                p += 1
-            raw[k] = max(len(a), len(b)) - p
-    elif scorer == "postfix":
-        for k in idx:
-            a, b = s1[k], s2[k]
-            p = 0
-            for c1, c2 in zip(reversed(a), reversed(b)):
-                if c1 != c2:
-                    break
-                p += 1
-            raw[k] = max(len(a), len(b)) - p
+    elif scorer in ("prefix", "postfix"):
+        # canonical raw = distance = max(len) - common_affix; the affix
+        # scan is the C batch helper (find_common_prefix/suffix,
+        # src/details/common.rs:39-62), python char loop as fallback
+        a = [s1[k] for k in idx]
+        b = [s2[k] for k in idx]
+        aff = _native.native_affix(0 if scorer == "prefix" else 1, a, b)
+        if aff is not None:
+            lens = np.array([[len(x), len(y)] for x, y in zip(a, b)],
+                            dtype=np.int64).reshape(-1, 2)
+            raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - aff
+        else:
+            rev = scorer == "postfix"
+            for pos, k in enumerate(idx):
+                x, y = a[pos], b[pos]
+                it = zip(reversed(x), reversed(y)) if rev else zip(x, y)
+                p = 0
+                for c1, c2 in it:
+                    if c1 != c2:
+                        break
+                    p += 1
+                raw[k] = max(len(x), len(y)) - p
     elif scorer == "partial_ratio":
         raw[idx] = _partial_ratio_batch([(s1[k], s2[k]) for k in idx])
     elif scorer == "token_set_ratio":
@@ -583,9 +615,18 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     ``pad`` default False matches the reference hamming
     ``Args::default()`` (NoPadding -> error on unequal lengths,
     src/distance/hamming.rs:32-40); with ``errors='null'`` the error
-    becomes a NaN/NULL row.  ``score_hint`` is reference API parity
-    (a perf hint) — accepted and ignored."""
-    del score_hint  # parity no-op
+    becomes a NaN/NULL row.  ``score_hint`` is a pure performance knob
+    (reference semantics, src/distance/levenshtein.rs:1069-1089): for
+    uniform-levenshtein distance it seeds the banded kernel's initial
+    band, retried with doubling — results are always identical with or
+    without it; other scorers/forms accept and ignore it."""
+    hint = None
+    if (score_hint is not None and form == "distance"
+            and scorer == "levenshtein"):
+        try:
+            hint = max(0, int(score_hint))
+        except (TypeError, ValueError):
+            hint = None
     if form not in FORMS:
         raise ValueError(f"unknown form {form!r}")
     s1 = _clean(s1_arr)
@@ -608,7 +649,8 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
                                           weights, prefix_weight=prefix_weight)
     raw, valid = _raw_batch(scorer, s1, s2, valid, weights=weights, pad=pad,
                             prefix_weight=prefix_weight, errors=errors,
-                            form=form, score_cutoff=score_cutoff)
+                            form=form, score_cutoff=score_cutoff,
+                            score_hint=hint)
     out = np.full(n, np.nan)
     idx = np.flatnonzero(valid)
     if len(idx) == 0:

@@ -106,6 +106,88 @@ def test_damerau_batch_scalar_parity_long(spark):
         assert int(out[i]) == damerau_distance_raw(a[i], b[i])
 
 
+# --------------------------------------------------------------- item 6
+def test_score_hint_banded_parity():
+    """score_hint seeds the banded levenshtein kernel; results must be
+    bit-identical to the unhinted path for any hint — too small
+    (doubling retry), exact, absurdly large (profitability gate ->
+    full kernel), with and without a cutoff."""
+    import random
+    import pandas as pd
+    from fuzzspark.kernels.batch import batch_scores
+    random.seed(13)
+
+    def mutate(s, k):
+        lst = list(s)
+        for _ in range(k):
+            op = random.choice("sid")
+            i = random.randrange(len(lst))
+            if op == "s":
+                lst[i] = random.choice("XYZ")
+            elif op == "i":
+                lst.insert(i, random.choice("XYZ"))
+            elif len(lst) > 1:
+                del lst[i]
+        return "".join(lst)
+
+    A, B = [], []
+    for _ in range(60):
+        s = "".join(random.choice("abcdefgh") for _ in
+                    range(random.randint(500, 2000)))
+        A.append(s)
+        B.append(mutate(s, random.randint(0, 10)))
+    A += ["kitten", "", "Иванко", "abc"]
+    B += ["sitting", "x", "Петрунко", ""]
+    sa, sb = pd.Series(A), pd.Series(B)
+    base = batch_scores("levenshtein", "distance", sa, sb)
+    for hint in (0, 1, 4, 64, 10**6):
+        got = batch_scores("levenshtein", "distance", sa, sb,
+                           score_hint=hint)
+        assert np.array_equal(base, got, equal_nan=True), hint
+    cut = batch_scores("levenshtein", "distance", sa, sb, score_cutoff=6)
+    cut_h = batch_scores("levenshtein", "distance", sa, sb,
+                         score_cutoff=6, score_hint=3)
+    assert np.array_equal(cut, cut_h, equal_nan=True)
+
+
+# --------------------------------------------------------------- item 5
+def test_vectorized_tails_match_scalar_formulas():
+    """jw prefix boost and prefix/postfix now ride the C affix scan;
+    values must equal the scalar definitions exactly."""
+    import pandas as pd
+    from fuzzspark.kernels.batch import batch_scores
+    from fuzzspark.kernels.metrics import jaro_similarity_raw
+    A = ["martha", "dixon", "abcd", "", "a", "préfix", "same", "xyzw"]
+    B = ["marhta", "dicksonx", "abce", "", "ab", "préfixe", "same", "axyz"]
+    sa, sb = pd.Series(A), pd.Series(B)
+    jw = batch_scores("jaro_winkler", "normalized_similarity", sa, sb)
+    for i, (x, y) in enumerate(zip(A, B)):
+        sim = jaro_similarity_raw(x, y)
+        if sim > 0.7:
+            p = 0
+            for c1, c2 in zip(x[:4], y[:4]):
+                if c1 != c2:
+                    break
+                p += 1
+            sim = sim + p * 0.1 * (1.0 - sim)
+        assert jw[i] == pytest.approx(sim, abs=0), (x, y)
+    pf = batch_scores("prefix", "distance", sa, sb)
+    sf = batch_scores("postfix", "distance", sa, sb)
+    for i, (x, y) in enumerate(zip(A, B)):
+        p = 0
+        for c1, c2 in zip(x, y):
+            if c1 != c2:
+                break
+            p += 1
+        s = 0
+        for c1, c2 in zip(reversed(x), reversed(y)):
+            if c1 != c2:
+                break
+            s += 1
+        assert pf[i] == max(len(x), len(y)) - p
+        assert sf[i] == max(len(x), len(y)) - s
+
+
 # --------------------------------------------------------------- item 2
 def test_lsh_band_keys_integer_exact(spark):
     """Quantized band keys must be reproducible by pure integer
