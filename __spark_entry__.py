@@ -429,8 +429,13 @@ def q_streaming_windows(spark, sf_dir):
     BY.  Watermark EVICTION/late-drop semantics are pinned separately
     by tests/test_streaming.py (checkpointed two-run replay)."""
     from fuzzspark.streaming import streaming_windowed_agg
-    # watermarks require TIMESTAMP (not NTZ); the cast is wall-clock
-    # identity in this UTC session and is cast back on output
+    # watermarks require TIMESTAMP (not NTZ).  The NTZ->TIMESTAMP cast
+    # and F.window() bucket starts are wall-clock identical to the
+    # oracle's date_trunc('hour', ts) ONLY under a whole-hour session
+    # offset, so pin UTC for the whole query (restored afterwards) —
+    # an IST-like session would otherwise shift windows by 30 min.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _t(spark, sf_dir, "events").withColumn(
         "ts", F.col("ts").cast("timestamp"))
     src = tempfile.mkdtemp(prefix="fuzzspark_qsw_src_")
@@ -464,6 +469,7 @@ def q_streaming_windows(spark, sf_dir):
                        "sum_value").toPandas())
     finally:
         import shutil
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)
@@ -503,6 +509,7 @@ def q_streaming_match(spark, sf_dir):
                .select("stream_id", "ref_id", "score").toPandas())
     finally:
         import shutil
+        q.unpersist_reference()  # release the cached ref projections
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(sink, ignore_errors=True)

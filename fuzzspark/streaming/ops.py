@@ -69,6 +69,14 @@ def _match_batch(reference: DataFrame, scorer: str, threshold: float,
                      .select("stream_id", "ref_id",
                              F.round("score", 6).alias("score"))
 
+    def unpersist() -> None:
+        """Release the cached reference projections (call once the
+        stream is done — long-lived sessions building several matchers
+        would otherwise accumulate executor storage)."""
+        ref_blocks.unpersist()
+        ref_content.unpersist()
+
+    run.unpersist = unpersist
     return run
 
 
@@ -96,7 +104,11 @@ def streaming_fuzzy_match(stream: DataFrame, reference: DataFrame, *,
               .option("checkpointLocation", checkpoint_dir))
     if trigger_once:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    query = writer.start()
+    # cleanup handle: the reference block keys / content projection stay
+    # cached for the life of the stream; call this after termination
+    query.unpersist_reference = matcher.unpersist
+    return query
 
 
 def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,

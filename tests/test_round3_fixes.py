@@ -122,8 +122,11 @@ def test_cc_stats_surfaced(spark, tmp_path):
 
 def test_native_uint8_path_parity():
     """The uint8 ASCII fast path through the C batch kernels is
-    bit-exact with the scalar kernels, including unicode fallback and
-    mixed ascii/unicode sides (the wrapper widens the narrow side)."""
+    bit-exact with the scalar kernels.  THREE SEPARATE batches so each
+    encoding branch is actually exercised (a single mixed batch widens
+    everything to uint32 and the es=1 kernel path never runs):
+    all-ASCII (es=1), unicode on exactly one side (the widen branch in
+    the wrapper), and all-unicode (es=4)."""
     from fuzzspark.kernels import _native
     from fuzzspark.kernels.batch import batch_scores
     from fuzzspark.kernels.fuzz import ratio_raw
@@ -136,20 +139,34 @@ def test_native_uint8_path_parity():
     def rand_s(k, lo=32, hi=126):
         return "".join(chr(int(c)) for c in rng.integers(lo, hi + 1, k))
 
-    s1 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)]
-    s2 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)]
-    # sprinkle unicode on one side, both sides, and empties
-    s1 += ["καλημέρα κόσμε", "abcdef", "", "αβγ"]
-    s2 += ["καλημερα κοσμε", "αβγdef", "xyz", ""]
-    a1 = np.array(s1, dtype=object)
-    a2 = np.array(s2, dtype=object)
-    got_r = batch_scores("ratio", "normalized_similarity", a1, a2)
-    got_l = batch_scores("levenshtein", "distance", a1, a2)
-    got_o = batch_scores("osa", "distance", a1, a2)
-    for i, (a, b) in enumerate(zip(s1, s2)):
-        assert got_r[i] == ratio_raw(a, b)
-        assert got_l[i] == levenshtein_distance_raw(a, b)
-        assert got_o[i] == osa_distance_raw(a, b)
+    def rand_u(k):  # greek block: guaranteed non-ascii
+        return "".join(chr(int(c)) for c in rng.integers(0x391, 0x3C9, k))
+
+    ascii1 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)] + ["", "x"]
+    ascii2 = [rand_s(int(rng.integers(0, 200))) for _ in range(200)] + ["y", ""]
+    uni1 = [rand_u(int(rng.integers(1, 60))) for _ in range(60)] + ["αβγ", ""]
+    uni2 = [rand_u(int(rng.integers(1, 60))) for _ in range(60)] + ["", "αβγ"]
+    batches = {
+        "es1_ascii_both": (ascii1, ascii2),
+        "widen_unicode_one_side": (ascii1[:60], uni2[:60]),
+        "widen_unicode_other_side": (uni1[:60], ascii2[:60]),
+        "es4_unicode_both": (uni1, uni2),
+    }
+    # the es=1 kernel path requires BOTH flattened sides to be ascii:
+    # confirm the fixtures exercise what they claim
+    from fuzzspark.kernels._native import _flatten_raw
+    assert _flatten_raw(ascii1)[2] == 1 and _flatten_raw(ascii2)[2] == 1
+    assert _flatten_raw(uni1)[2] == 4 and _flatten_raw(uni2)[2] == 4
+    for label, (s1, s2) in batches.items():
+        a1 = np.array(s1, dtype=object)
+        a2 = np.array(s2, dtype=object)
+        got_r = batch_scores("ratio", "normalized_similarity", a1, a2)
+        got_l = batch_scores("levenshtein", "distance", a1, a2)
+        got_o = batch_scores("osa", "distance", a1, a2)
+        for i, (a, b) in enumerate(zip(s1, s2)):
+            assert got_r[i] == ratio_raw(a, b), (label, a, b)
+            assert got_l[i] == levenshtein_distance_raw(a, b), (label, a, b)
+            assert got_o[i] == osa_distance_raw(a, b), (label, a, b)
 
 
 def test_jw_prefilter_high_weight_not_suppressing():

@@ -47,6 +47,7 @@ def test_streaming_fuzzy_match(spark, tmp_path):
                               threshold=0.9, sink_dir=sink,
                               checkpoint_dir=str(tmp_path / "ck"))
     q.awaitTermination(300)
+    q.unpersist_reference()
     edges = spark.read.parquet(sink)
     n_edges = edges.count()
     assert n_edges > 0
@@ -81,6 +82,7 @@ def test_streaming_restart_is_incremental(spark, tmp_path):
                                   threshold=0.95, sink_dir=sink,
                                   checkpoint_dir=ck)
         q.awaitTermination(300)
+        q.unpersist_reference()
 
     run()
     n1 = spark.read.parquet(sink).count() if os.path.exists(sink) else 0
