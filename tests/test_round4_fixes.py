@@ -188,6 +188,22 @@ def test_vectorized_tails_match_scalar_formulas():
         assert sf[i] == max(len(x), len(y)) - s
 
 
+# --------------------------------------------------------------- item 8
+def test_skew_defusal_recall_floor(spark):
+    """Planted worst case (whole labeled corpus in ONE hot block): the
+    default defusal settings must keep >= 0.95 of truth match pairs
+    co-keyed while cutting candidate pairs by >= 10x (full table in
+    BENCH_SCALING.md, tools/skew_recall.py)."""
+    from tools.skew_recall import run_experiment
+    n, n_truth, rows = run_experiment(spark, n_clusters=400, seed=17)
+    by_setting = {(mb, w): (cand, rec) for mb, w, cand, rec in rows}
+    full_pairs, full_rec = by_setting[("off", "-")]
+    assert full_rec == 1.0
+    cand, rec = by_setting[("200", "20")]  # pipeline defaults
+    assert rec >= 0.95, rec
+    assert cand * 10 <= full_pairs, (cand, full_pairs)
+
+
 # --------------------------------------------------------------- item 2
 def test_lsh_band_keys_integer_exact(spark):
     """Quantized band keys must be reproducible by pure integer
