@@ -33,11 +33,21 @@ def params_hash(params: dict) -> str:
 
 
 def _score_histogram(df: DataFrame, col: str, bins: int = 20):
+    """Fallback scan-based histogram (the hot path rides the write job
+    via Observation — see StageRunner.run)."""
     binned = (df.where(F.col(col).isNotNull())
               .select(F.least(F.lit(bins - 1),
                               F.floor(F.col(col) * bins).cast("int")).alias("b"))
               .groupBy("b").count().orderBy("b").collect())
     return {int(r["b"]): int(r["count"]) for r in binned}
+
+
+def _histogram_aggs(col: str, bins: int = 20):
+    """Observation aggregates equivalent to _score_histogram: NULL
+    scores excluded, bucket = min(bins-1, floor(score*bins))."""
+    bucket = F.least(F.lit(bins - 1), F.floor(F.col(col) * bins).cast("int"))
+    return [F.sum((F.col(col).isNotNull() & (bucket == b)).cast("long"))
+            .alias(f"b{b}") for b in range(bins)]
 
 
 @dataclass
@@ -92,16 +102,31 @@ class StageRunner:
         df = build()
         if repartition:
             df = df.repartition(repartition)
-        self._write(df, out_dir)
+        # lineage metrics RIDE THE WRITE JOB (CollectMetrics node): row
+        # count + score histogram cost nothing extra, instead of paying
+        # a second full pass over every stage's output — at 100 TB the
+        # post-write re-scan is the same size as the write itself.
+        bins = 20
+        metrics = None
+        try:
+            from pyspark.sql import Observation
+            import uuid
+            aggs = [F.count(F.lit(1)).alias("rows")]
+            if score_col is not None:
+                aggs += _histogram_aggs(score_col, bins)
+            obs = Observation(f"lineage_{stage}_{uuid.uuid4().hex[:8]}")
+            df = df.observe(obs, *aggs)
+            self._write(df, out_dir)
+            metrics = obs.get
+        except ImportError:  # pragma: no cover — very old pyspark
+            self._write(df, out_dir)
         persisted = self._read(out_dir)
-        # one pass: per-partition rows; total derived from the sum
-        part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
-                       .count().collect())
-        partition_rows = {int(r["pid"]): int(r["count"]) for r in part_counts}
+        partition_rows = self._partition_rows(out_dir, persisted)
         manifest = {
             "stage": stage,
             "params_hash": params_hash(self.params),
-            "row_count": int(sum(partition_rows.values())),
+            "row_count": (int(metrics["rows"]) if metrics is not None
+                          else int(sum(partition_rows.values()))),
             "schema": persisted.schema.jsonValue(),
             "partition_rows": partition_rows,
             "elapsed_sec": round(time.time() - t0, 3),
@@ -109,10 +134,36 @@ class StageRunner:
             "complete": True,
         }
         if score_col is not None:
-            manifest["score_histogram"] = _score_histogram(persisted, score_col)
+            if metrics is not None:
+                hist = {b: int(metrics[f"b{b}"] or 0) for b in range(bins)}
+                manifest["score_histogram"] = {b: c for b, c in hist.items()
+                                               if c}
+            else:  # pragma: no cover
+                manifest["score_histogram"] = _score_histogram(persisted,
+                                                               score_col)
         if extra_manifest:
             manifest["extra"] = dict(extra_manifest)
         with open(self.manifest_path(stage), "w") as f:
             json.dump(manifest, f, indent=1)
         self.stages_run.append(stage)
         return persisted
+
+    def _partition_rows(self, out_dir: str, persisted: DataFrame) -> dict:
+        """Per-partition lineage rows.  For parquet the counts come from
+        the file FOOTERS (driver-side metadata read, zero Spark jobs and
+        zero data scanned — the scalable answer at 100 TB); other
+        formats pay the one-pass spark_partition_id() census."""
+        if self.table_format == "parquet":
+            try:
+                import duckdb
+                rows = duckdb.sql(
+                    "SELECT file_name, num_rows FROM parquet_file_metadata("
+                    f"'{out_dir}/*.parquet')").fetchall()
+                if rows:
+                    return {i: int(nr) for i, (_fn, nr)
+                            in enumerate(sorted(rows))}
+            except Exception:  # pragma: no cover — fall back to the scan
+                pass
+        part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
+                       .count().collect())
+        return {int(r["pid"]): int(r["count"]) for r in part_counts}
