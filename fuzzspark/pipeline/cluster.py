@@ -6,8 +6,10 @@ public literature; the reference has no clustering at all, this stage
 comes from BASELINE.json:north_rule).  Each round is two
 ``groupBy(node).agg(min(...))`` + join shuffles; converges in
 O(log n) rounds with deterministic min-id labels so reruns reproduce
-byte-identical cluster ids.  ``localCheckpoint`` truncates lineage so
-the iterative plan doesn't snowball.
+byte-identical cluster ids.  Per-round checkpointing truncates lineage
+so the iterative plan doesn't snowball; with a checkpoint dir
+configured the rounds use RELIABLE checkpoints (fault-tolerant to
+block eviction and executor loss — see connected_components).
 """
 
 from __future__ import annotations
@@ -86,7 +88,8 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
 
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          driver_finish_edges: int = 1_000_000,
-                         stats: dict | None = None) -> DataFrame:
+                         stats: dict | None = None,
+                         checkpoint: str = "auto") -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
     min member id.  Nodes absent from ``edges`` are not returned
     (callers union isolated nodes as their own cluster).
@@ -95,6 +98,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     set fits under ``driver_finish_edges`` (components are invariant
     under the star transforms) a driver-side union-find finishes it —
     set 0 to force the fully-distributed fixpoint.
+
+    ``checkpoint``: ``'reliable'`` truncates per-round lineage with
+    ``df.checkpoint()`` (files under the SparkContext checkpoint dir —
+    fault-tolerant: a lost/evicted block is re-read from disk, which is
+    what an iterative job needs both under single-JVM memory pressure
+    and on a real cluster that loses executors; ``localCheckpoint``
+    blocks are UNRECOVERABLE once lost because the lineage is already
+    truncated).  ``'local'`` keeps localCheckpoint;
+    ``'auto'`` (default) uses reliable iff a checkpoint dir is
+    configured — run_pipeline sets one under the stage workdir.
 
     ``stats`` (optional dict) is filled with the per-round contracted
     (symmetrized, distinct) edge counts and where the driver finish cut
@@ -110,10 +123,29 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
     if stats is None:
         stats = {}
+    sc = edges.sparkSession.sparkContext
+    if checkpoint == "auto":
+        try:
+            has_dir = sc._jsc.sc().getCheckpointDir().isDefined()
+        except Exception:  # pragma: no cover — py4j API drift
+            has_dir = False
+        checkpoint = "reliable" if has_dir else "local"
+
+    keep_refs: list[DataFrame] = []  # pin rounds: a python-GC'd round
+
+    # would let ContextCleaner unpersist blocks/shuffles a retried task
+    # still needs
+    def _ck(df: DataFrame, eager: bool = True) -> DataFrame:
+        out = (df.checkpoint(eager=eager) if checkpoint == "reliable"
+               else df.localCheckpoint(eager=eager))
+        keep_refs.append(out)
+        return out
+
     stats["round_edges"] = []
     stats["driver_finish_threshold"] = driver_finish_edges
     stats["driver_finish_at_edges"] = None
-    e = _symmetrize(edges).distinct().localCheckpoint()
+    stats["checkpoint_mode"] = checkpoint
+    e = _ck(_symmetrize(edges).distinct())
     prev_fp = _fingerprint(e)
     stats["round_edges"].append(prev_fp[0])
     if driver_finish_edges and prev_fp[0] <= driver_finish_edges:
@@ -125,9 +157,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         # duplicates don't change the min-aggregations, so no distinct
         # before large-star; the lazy checkpoint is materialized by the
         # fingerprint aggregation (one job per round).
-        e2 = _small_star(
+        e2 = _ck(_small_star(
             _symmetrize(_large_star(_symmetrize(e)))
-        ).localCheckpoint(eager=False)
+        ), eager=False)
         fp = _fingerprint(e2)
         e = e2
         stats["round_edges"].append(fp[0])

@@ -19,14 +19,28 @@ __all__ = ["candidate_pairs"]
 def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
                     scorer: str = "ratio", cutoff: float = 0.9,
                     broadcast_threshold: int | None = None) -> DataFrame:
-    """(left_id, right_id, s1, s2, len1, len2, exact_equal) distinct pairs.
+    """(left_id, right_id, len1, len2, exact_equal) distinct pairs.
 
-    ``files`` must have (id, content); ``blocks`` (id, block_key).
-    The same pair found via several keys is deduped BEFORE scoring
-    (aggregation on the pair key — cheaper than scoring twice).
+    ``files`` must have (id, content) — or, cheaper, precomputed
+    (id, content_len, content_sha256) as 01_files provides; ``blocks``
+    (id, block_key).  The same pair found via several keys is deduped
+    BEFORE scoring (aggregation on the pair key — cheaper than scoring
+    twice).
+
+    TEXT IS NOT MATERIALIZED into the pair rows (round 4): inlining
+    both contents would multiply the checkpoint by the pair
+    amplification factor (a 100 TB corpus with 10x amplification would
+    write petabytes); the scoring stage joins content by id instead.
+    ``exact_equal`` therefore compares the sha256 of the contents —
+    identical decisions, 64 bytes per side instead of the documents.
     """
-    sides = files.select("id", "content",
-                         F.length("content").alias("content_len"))
+    cols = set(files.columns)
+    sides = files.select(
+        "id",
+        (F.col("content_len") if "content_len" in cols
+         else F.length("content")).alias("content_len"),
+        (F.col("content_sha256") if "content_sha256" in cols
+         else F.sha2(F.col("content").cast("binary"), 256)).alias("_sha"))
     b = blocks
     left = b.alias("l")
     right = b.alias("r")
@@ -37,15 +51,15 @@ def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
         .dropDuplicates(["left_id", "right_id"])
     )
     lf = sides.select(F.col("id").alias("left_id"),
-                      F.col("content").alias("s1"),
-                      F.col("content_len").alias("len1"))
+                      F.col("content_len").alias("len1"),
+                      F.col("_sha").alias("_sha1"))
     rf = sides.select(F.col("id").alias("right_id"),
-                      F.col("content").alias("s2"),
-                      F.col("content_len").alias("len2"))
+                      F.col("content_len").alias("len2"),
+                      F.col("_sha").alias("_sha2"))
     pairs = (pair_ids.join(lf, "left_id").join(rf, "right_id")
-             .withColumn("exact_equal", F.col("s1") == F.col("s2")))
+             .withColumn("exact_equal", F.col("_sha1") == F.col("_sha2")))
     # Catalyst-native prune: pairs that cannot reach the cutoff by length
     pairs = pairs.where(
         F.col("exact_equal")
         | length_prefilter(F.col("len1"), F.col("len2"), scorer, cutoff))
-    return pairs
+    return pairs.select("left_id", "right_id", "len1", "len2", "exact_equal")

@@ -110,24 +110,43 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                                 cutoff=cfg.threshold))
 
     def _score():
-        # cutoff pushed into the kernel: length-hopeless pairs never
-        # reach the scorer and sub-threshold scores come back NULL
+        # 03_pairs is id-only (text never rides the pair checkpoint —
+        # see candidate_pairs); join content back by id here.  Exact
+        # duplicates skip the join and the scorer entirely (score 1.0
+        # from the sha equality decided at pair time).  Cutoff is
+        # pushed into the kernel: sub-threshold scores come back NULL
         # (identical to the post-hoc WHERE, per reference cutoff
         # semantics src/common.rs:73-86)
-        scored = widen(pairs).withColumn(
-            "score",
-            F.when(F.col("exact_equal"), F.lit(1.0)).otherwise(
-                scorer_column(cfg.scorer, "s1", "s2",
-                              "normalized_similarity",
-                              score_cutoff=cfg.threshold)))
-        return scored.select("left_id", "right_id", "len1", "len2",
-                             "exact_equal", "score")
+        out_cols = ["left_id", "right_id", "len1", "len2",
+                    "exact_equal", "score"]
+        exact = (pairs.where(F.col("exact_equal"))
+                 .withColumn("score", F.lit(1.0)).select(*out_cols))
+        content = files_ck.select("id", "content")
+        todo = (pairs.where(~F.col("exact_equal"))
+                .join(content.select(F.col("id").alias("left_id"),
+                                     F.col("content").alias("s1")),
+                      "left_id")
+                .join(content.select(F.col("id").alias("right_id"),
+                                     F.col("content").alias("s2")),
+                      "right_id"))
+        scored = widen(todo).withColumn(
+            "score", scorer_column(cfg.scorer, "s1", "s2",
+                                   "normalized_similarity",
+                                   score_cutoff=cfg.threshold))
+        return scored.select(*out_cols).unionByName(exact)
 
     scores = runner.run("04_scores", _score, score_col="score")
 
     cc_stats: dict = {}
 
     def _cluster():
+        # reliable per-round checkpoints for the CC fixpoint: a lost
+        # localCheckpoint block is unrecoverable (truncated lineage);
+        # checkpoint files under the workdir survive eviction/executor
+        # loss and cost one small write per contracted round
+        import os
+        spark.sparkContext.setCheckpointDir(
+            os.path.join(workdir, "_cc_checkpoint"))
         edges = scores.where(F.col("score") >= cfg.threshold) \
                       .select("left_id", "right_id")
         labels = connected_components(
