@@ -188,6 +188,33 @@ def test_vectorized_tails_match_scalar_formulas():
         assert sf[i] == max(len(x), len(y)) - s
 
 
+# ------------------------------------------------- scale architecture
+def test_pairs_checkpoint_is_slim_and_cc_reliable(spark, tmp_path):
+    """03_pairs must never materialize document text (the checkpoint
+    would scale with pair amplification x document size), and the CC
+    loop must run with reliable checkpoints when run_pipeline drives
+    it (lost localCheckpoint blocks are unrecoverable)."""
+    import json
+    from fuzzspark.pipeline import (LinkageConfig, corpus_to_spark,
+                                    run_pipeline)
+    from fuzzspark.pipeline.corpus import generate_corpus
+    files, _, _ = corpus_to_spark(spark, generate_corpus(n_clusters=8,
+                                                         seed=3))
+    out = run_pipeline(spark, files, str(tmp_path / "wd"),
+                       LinkageConfig(threshold=0.85))
+    assert set(out["pairs"].columns) == {
+        "left_id", "right_id", "len1", "len2", "exact_equal"}
+    m = json.load(open(out["runner"].manifest_path("05_clusters")))
+    assert m["extra"]["checkpoint_mode"] == "reliable"
+    # scores keep the full contract (exact pairs score 1.0, text joined
+    # back only for the scored branch)
+    assert set(out["scores"].columns) == {
+        "left_id", "right_id", "len1", "len2", "exact_equal", "score"}
+    exact = out["scores"].where("exact_equal").select("score").distinct() \
+        .collect()
+    assert all(r["score"] == 1.0 for r in exact)
+
+
 # --------------------------------------------------------------- item 8
 def test_skew_defusal_recall_floor(spark):
     """Planted worst case (whole labeled corpus in ONE hot block): the
