@@ -268,11 +268,12 @@ def native_affix(mode: int, pat_strs: list[str], txt_strs: list[str],
 
 
 def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
-                      hint: int, bounds: np.ndarray | None = None
+                      hint, bounds: np.ndarray | None = None
                       ) -> np.ndarray | None:
     """Hint-seeded banded levenshtein (exact results): per pair the
-    diagonal band starts at ``hint`` and doubles until the distance is
-    found.  -2 entries mark pairs where banding cannot beat the full
+    diagonal band starts at ``hint`` (a scalar raw distance or a
+    per-pair int64 array) and doubles until the distance is found.
+    -2 entries mark pairs where banding cannot beat the full
     bit-parallel kernel (caller recomputes those via native_batch);
     -1 entries mark pairs proven above ``bounds`` (the bounded kernel's
     abandonment contract).  None when no compiler is available."""
@@ -288,7 +289,9 @@ def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
             txt = txt.astype(np.uint32)
         p_es = t_es = 4
     out = np.empty(len(pat_strs), dtype=np.int64)
-    hints = np.full(len(pat_strs), int(hint), dtype=np.int64)
+    hints = (np.ascontiguousarray(hint, dtype=np.int64)
+             if isinstance(hint, np.ndarray)
+             else np.full(len(pat_strs), int(hint), dtype=np.int64))
     b = (None if bounds is None
          else np.ascontiguousarray(bounds, dtype=np.int64))
     rc = lib.batch_lev_hinted_es(

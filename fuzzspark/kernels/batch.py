@@ -344,11 +344,28 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         if score_hint is not None and len(idx) and _native.get_lib() is not None:
             # hint-seeded banded kernel (reference band-doubling trick,
             # src/distance/levenshtein.rs:1069-1089): exact values; -2
-            # marks pairs where the full bit-parallel kernel is cheaper
+            # marks pairs where the full bit-parallel kernel is cheaper.
+            # Non-distance forms convert the hint to a per-pair raw
+            # distance via the usual cutoff algebra — any monotone
+            # conversion is safe because the band only seeds, never
+            # decides (results are exact regardless of the hint).
             a = [s1[k] for k in idx]
             b = [s2[k] for k in idx]
-            hinted = _native.native_lev_hinted(a, b, int(score_hint),
-                                               bounds)
+            if form == "distance":
+                hints = np.full(len(idx), max(0, int(score_hint)),
+                                dtype=np.int64)
+            else:
+                l1 = np.fromiter((len(x) for x in a), np.int64, len(idx))
+                l2 = np.fromiter((len(x) for x in b), np.int64, len(idx))
+                mx = np.maximum(l1, l2)
+                if form == "similarity":
+                    hints = np.maximum(mx - np.int64(int(score_hint)), 0)
+                elif form == "normalized_distance":
+                    hints = np.ceil(mx * float(score_hint)).astype(np.int64)
+                else:  # normalized_similarity
+                    hints = np.ceil(mx * (1.0 - float(score_hint))) \
+                        .astype(np.int64)
+            hinted = _native.native_lev_hinted(a, b, hints, bounds)
             if hinted is not None:
                 redo = np.flatnonzero(hinted == -2)
                 if len(redo):
@@ -617,14 +634,14 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     src/distance/hamming.rs:32-40); with ``errors='null'`` the error
     becomes a NaN/NULL row.  ``score_hint`` is a pure performance knob
     (reference semantics, src/distance/levenshtein.rs:1069-1089): for
-    uniform-levenshtein distance it seeds the banded kernel's initial
+    uniform levenshtein (all four forms — non-distance hints convert
+    to per-pair raw distances) it seeds the banded kernel's initial
     band, retried with doubling — results are always identical with or
-    without it; other scorers/forms accept and ignore it."""
+    without it; other scorers accept and ignore it."""
     hint = None
-    if (score_hint is not None and form == "distance"
-            and scorer == "levenshtein"):
+    if score_hint is not None and scorer == "levenshtein":
         try:
-            hint = max(0, int(score_hint))
+            hint = float(score_hint)
         except (TypeError, ValueError):
             hint = None
     if form not in FORMS:

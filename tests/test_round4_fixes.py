@@ -148,6 +148,15 @@ def test_score_hint_banded_parity():
     cut_h = batch_scores("levenshtein", "distance", sa, sb,
                          score_cutoff=6, score_hint=3)
     assert np.array_equal(cut, cut_h, equal_nan=True)
+    # non-distance forms: the hint converts to a per-pair raw distance
+    # and must stay result-identical too
+    for form, hints in [("similarity", (1900, 0)),
+                        ("normalized_distance", (0.002, 0.9)),
+                        ("normalized_similarity", (0.998, 0.1))]:
+        base_f = batch_scores("levenshtein", form, sa, sb)
+        for h in hints:
+            got_f = batch_scores("levenshtein", form, sa, sb, score_hint=h)
+            assert np.array_equal(base_f, got_f, equal_nan=True), (form, h)
 
 
 # --------------------------------------------------------------- item 5
