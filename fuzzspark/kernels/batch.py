@@ -341,7 +341,8 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
     if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
         bounds = _dist_bounds()
         got = None
-        if score_hint is not None and len(idx) and _native.get_lib() is not None:
+        use_band = score_hint is not None or bounds is not None
+        if use_band and len(idx) and _native.get_lib() is not None:
             # hint-seeded banded kernel (reference band-doubling trick,
             # src/distance/levenshtein.rs:1069-1089): exact values; -2
             # marks pairs where the full bit-parallel kernel is cheaper.
@@ -349,9 +350,15 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             # distance via the usual cutoff algebra — any monotone
             # conversion is safe because the band only seeds, never
             # decides (results are exact regardless of the hint).
+            # A CUTOFF with no hint also rides the band: one pass at
+            # band = max passing distance either returns the exact
+            # value (<= band) or proves suppression (-1), which is
+            # precisely the bounded kernel's abandonment contract.
             a = [s1[k] for k in idx]
             b = [s2[k] for k in idx]
-            if form == "distance":
+            if score_hint is None:
+                hints = bounds  # distance form only (bounds != None)
+            elif form == "distance":
                 hints = np.full(len(idx), max(0, int(score_hint)),
                                 dtype=np.int64)
             else:

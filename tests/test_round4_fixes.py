@@ -144,7 +144,11 @@ def test_score_hint_banded_parity():
         got = batch_scores("levenshtein", "distance", sa, sb,
                            score_hint=hint)
         assert np.array_equal(base, got, equal_nan=True), hint
+    # a cutoff with no hint also rides the band now: one pass at
+    # band = cutoff either yields the exact value or proves suppression
     cut = batch_scores("levenshtein", "distance", sa, sb, score_cutoff=6)
+    expect = np.where(base <= 6, base, np.nan)
+    assert np.array_equal(cut, expect, equal_nan=True)
     cut_h = batch_scores("levenshtein", "distance", sa, sb,
                          score_cutoff=6, score_hint=3)
     assert np.array_equal(cut, cut_h, equal_nan=True)
