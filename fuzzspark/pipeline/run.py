@@ -122,6 +122,12 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         exact = (pairs.where(F.col("exact_equal"))
                  .withColumn("score", F.lit(1.0)).select(*out_cols))
         content = files_ck.select("id", "content")
+        # the content joins distribute their output across
+        # spark.sql.shuffle.partitions (AQE coalesces by the 16m
+        # advisory size the session sets), so no explicit repartition:
+        # a post-join widen() would re-shuffle every text-attached row
+        # a second time — at the 200x tier that extra shuffle alone is
+        # ~100 GB
         todo = (pairs.where(~F.col("exact_equal"))
                 .join(content.select(F.col("id").alias("left_id"),
                                      F.col("content").alias("s1")),
@@ -129,7 +135,7 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                 .join(content.select(F.col("id").alias("right_id"),
                                      F.col("content").alias("s2")),
                       "right_id"))
-        scored = widen(todo).withColumn(
+        scored = todo.withColumn(
             "score", scorer_column(cfg.scorer, "s1", "s2",
                                    "normalized_similarity",
                                    score_cutoff=cfg.threshold))

@@ -37,6 +37,10 @@ def get_spark(app_name: str = "fuzzspark", cpus: int | None = None,
         # serializes the python scorers (see BENCH_SCALING.md)
         .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.files.openCostInBytes", "2m")
+        # align AQE's shuffle coalescing with the scan split size: the
+        # 64m default would merge a small-but-UDF-heavy stage into one
+        # or two tasks and serialize the python scorers
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16m")
         .config("spark.driver.memory", os.environ.get("FUZZSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
