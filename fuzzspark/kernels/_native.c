@@ -468,6 +468,108 @@ static int64_t lev_band_pass(const char *a, int64_t m, const char *b,
     return (res <= k) ? (int64_t)res : -1;
 }
 
+/* Banded OSA pass: same diagonal band soundness as levenshtein (every
+ * edit op changes j - i by at most 1 per unit cost; the adjacent
+ * transposition leaves j - i unchanged), with the OSA transposition
+ * term from the row-before-previous: D[i-2][j-2] sits at the SAME
+ * diagonal offset d.  Exact if the true OSA distance <= k, else -1. */
+static int64_t osa_band_pass(const char *a, int64_t m, const char *b,
+                             int64_t n, int es, int64_t k,
+                             int32_t *p2, int32_t *p1, int32_t *cur) {
+    const int32_t INF = 1 << 29;
+    for (int64_t d = -k; d <= k; d++) {
+        p1[d + k] = (d >= 0 && d <= n) ? (int32_t)d : INF;
+        p2[d + k] = INF;
+    }
+    for (int64_t i = 1; i <= m; i++) {
+        uint32_t ca = elem_at(a, i - 1, es);
+        for (int64_t d = -k; d <= k; d++) {
+            int64_t j = i + d;
+            if (j < 0 || j > n) { cur[d + k] = INF; continue; }
+            if (j == 0) { cur[d + k] = (int32_t)i; continue; }
+            uint32_t cb = elem_at(b, j - 1, es);
+            int32_t v = p1[d + k] + (ca != cb ? 1 : 0);
+            if (d + 1 <= k && p1[d + k + 1] + 1 < v)
+                v = p1[d + k + 1] + 1;
+            if (d - 1 >= -k && cur[d + k - 1] + 1 < v)
+                v = cur[d + k - 1] + 1;
+            if (i > 1 && j > 1
+                && ca == elem_at(b, j - 2, es)
+                && elem_at(a, i - 2, es) == cb
+                && p2[d + k] + 1 < v)
+                v = p2[d + k] + 1;
+            cur[d + k] = v;
+        }
+        int32_t *tmp = p2; p2 = p1; p1 = cur; cur = tmp;
+    }
+    int32_t res = p1[(n - m) + k];  /* p1 = row m after rotation */
+    return (res <= k) ? (int64_t)res : -1;
+}
+
+int batch_osa_banded_es(const void *pat, const int64_t *pat_off,
+                        const void *txt, const int64_t *txt_off,
+                        int64_t n_pairs, int64_t *out,
+                        const int64_t *hints, const int64_t *bounds,
+                        int64_t elem_size) {
+    /* same driver contract as batch_lev_hinted_es: exact values, -1 =
+     * proven above bounds, -2 = band unprofitable (caller uses the
+     * full bit-parallel OSA kernel).  NOTE: affix stripping is safe
+     * for OSA too — a shared prefix/suffix is matched for free by any
+     * optimal alignment and transpositions never straddle it
+     * profitably (the reference strips at osa.rs:255). */
+    const int es = (int)elem_size;
+    int64_t cap = 0;
+    int32_t *p2 = NULL, *p1 = NULL, *cur = NULL;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const char *p = (const char *)pat + pat_off[i] * es;
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        const char *t = (const char *)txt + txt_off[i] * es;
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        int64_t lim = m < n ? m : n;
+        int64_t pre = 0;
+        while (pre < lim && elem_at(p, pre, es) == elem_at(t, pre, es)) pre++;
+        int64_t suf = 0;
+        while (suf < lim - pre
+               && elem_at(p, m - 1 - suf, es) == elem_at(t, n - 1 - suf, es))
+            suf++;
+        const char *ps = p + pre * es;
+        const char *ts = t + pre * es;
+        int64_t ms = m - pre - suf;
+        int64_t ns = n - pre - suf;
+        if (ms == 0 || ns == 0) { out[i] = ms == 0 ? ns : ms; continue; }
+        if (ms > ns) {
+            const char *tp = ps; ps = ts; ts = tp;
+            int64_t tl = ms; ms = ns; ns = tl;
+        }
+        int64_t bound = bounds ? bounds[i] : -1;
+        int64_t k = hints ? hints[i] : -1;
+        int64_t mind = ns - ms;
+        if (k < mind) k = mind;
+        if (k < 1) k = 1;
+        if (2 * k + 1 > ms / 4) { out[i] = -2; continue; }
+        for (;;) {
+            if (2 * k + 3 > cap) {
+                free(p2); free(p1); free(cur);
+                cap = 2 * k + 3;
+                p2 = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                p1 = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                cur = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                if (!p2 || !p1 || !cur) {
+                    free(p2); free(p1); free(cur);
+                    return -1;
+                }
+            }
+            int64_t r = osa_band_pass(ps, ms, ts, ns, es, k, p2, p1, cur);
+            if (r >= 0) { out[i] = r; break; }
+            if (bound >= 0 && k >= bound) { out[i] = -1; break; }
+            k <<= 1;
+            if (2 * k + 1 > ms / 2) { out[i] = -2; break; }
+        }
+    }
+    free(p2); free(p1); free(cur);
+    return 0;
+}
+
 int batch_lev_hinted_es(const void *pat, const int64_t *pat_off,
                         const void *txt, const int64_t *txt_off,
                         int64_t n_pairs, int64_t *out,

@@ -122,6 +122,18 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
         ]
+        lib.batch_osa_banded_es.restype = ctypes.c_int
+        lib.batch_osa_banded_es.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
         lib.batch_lev_hinted_es.restype = ctypes.c_int
         lib.batch_lev_hinted_es.argtypes = [
             ctypes.c_void_p,
@@ -267,16 +279,17 @@ def native_affix(mode: int, pat_strs: list[str], txt_strs: list[str],
     return out if rc == 0 else None
 
 
-def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
-                      hint, bounds: np.ndarray | None = None
-                      ) -> np.ndarray | None:
-    """Hint-seeded banded levenshtein (exact results): per pair the
-    diagonal band starts at ``hint`` (a scalar raw distance or a
-    per-pair int64 array) and doubles until the distance is found.
-    -2 entries mark pairs where banding cannot beat the full
-    bit-parallel kernel (caller recomputes those via native_batch);
-    -1 entries mark pairs proven above ``bounds`` (the bounded kernel's
-    abandonment contract).  None when no compiler is available."""
+def native_banded(kind: str, pat_strs: list[str], txt_strs: list[str],
+                  hint, bounds: np.ndarray | None = None
+                  ) -> np.ndarray | None:
+    """Hint/cutoff-seeded banded kernels (exact results), kind in
+    {'levenshtein', 'osa'}: per pair the diagonal band starts at
+    ``hint`` (a scalar raw distance or a per-pair int64 array) and
+    doubles until the distance is found.  -2 entries mark pairs where
+    banding cannot beat the full bit-parallel kernel (caller recomputes
+    those via native_batch); -1 entries mark pairs proven above
+    ``bounds`` (the bounded kernel's abandonment contract).  None when
+    no compiler is available."""
     lib = get_lib()
     if lib is None or not pat_strs:
         return None if lib is None else np.zeros(0, dtype=np.int64)
@@ -294,7 +307,9 @@ def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
              else np.full(len(pat_strs), int(hint), dtype=np.int64))
     b = (None if bounds is None
          else np.ascontiguousarray(bounds, dtype=np.int64))
-    rc = lib.batch_lev_hinted_es(
+    fn = (lib.batch_lev_hinted_es if kind == "levenshtein"
+          else lib.batch_osa_banded_es)
+    rc = fn(
         pat.ctypes.data_as(ctypes.c_void_p), pat_off,
         txt.ctypes.data_as(ctypes.c_void_p), txt_off,
         len(pat_strs), out,
@@ -302,6 +317,13 @@ def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
         None if b is None else b.ctypes.data_as(ctypes.c_void_p),
         p_es)
     return out if rc == 0 else None
+
+
+def native_lev_hinted(pat_strs: list[str], txt_strs: list[str],
+                      hint, bounds: np.ndarray | None = None
+                      ) -> np.ndarray | None:
+    """Back-compat alias for native_banded('levenshtein', ...)."""
+    return native_banded("levenshtein", pat_strs, txt_strs, hint, bounds)
 
 
 def native_partial_lcs(pat_strs: list[str], txt_strs: list[str]

@@ -338,49 +338,53 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             vals[got < 0] = np.floor(score_cutoff) + 1.0
         return vals
 
-    if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
+    def _banded_or_none(kind):
+        """Hint/cutoff-seeded banded kernel path (reference band-
+        doubling trick, src/distance/levenshtein.rs:1069-1089): exact
+        values; -2 marks pairs where the full bit-parallel kernel is
+        cheaper (recomputed here).  Non-distance-form hints convert to
+        per-pair raw distances via the usual cutoff algebra — any
+        monotone conversion is safe because the band only seeds, never
+        decides.  A CUTOFF with no hint also rides the band: one pass
+        at band = max passing distance either returns the exact value
+        (<= band) or proves suppression (-1), which is precisely the
+        bounded kernel's abandonment contract.  Returns None when
+        banding does not apply (caller uses the full kernel)."""
         bounds = _dist_bounds()
-        got = None
-        use_band = score_hint is not None or bounds is not None
-        if use_band and len(idx) and _native.get_lib() is not None:
-            # hint-seeded banded kernel (reference band-doubling trick,
-            # src/distance/levenshtein.rs:1069-1089): exact values; -2
-            # marks pairs where the full bit-parallel kernel is cheaper.
-            # Non-distance forms convert the hint to a per-pair raw
-            # distance via the usual cutoff algebra — any monotone
-            # conversion is safe because the band only seeds, never
-            # decides (results are exact regardless of the hint).
-            # A CUTOFF with no hint also rides the band: one pass at
-            # band = max passing distance either returns the exact
-            # value (<= band) or proves suppression (-1), which is
-            # precisely the bounded kernel's abandonment contract.
-            a = [s1[k] for k in idx]
-            b = [s2[k] for k in idx]
-            if score_hint is None:
-                hints = bounds  # distance form only (bounds != None)
-            elif form == "distance":
-                hints = np.full(len(idx), max(0, int(score_hint)),
-                                dtype=np.int64)
-            else:
-                l1 = np.fromiter((len(x) for x in a), np.int64, len(idx))
-                l2 = np.fromiter((len(x) for x in b), np.int64, len(idx))
-                mx = np.maximum(l1, l2)
-                if form == "similarity":
-                    hints = np.maximum(mx - np.int64(int(score_hint)), 0)
-                elif form == "normalized_distance":
-                    hints = np.ceil(mx * float(score_hint)).astype(np.int64)
-                else:  # normalized_similarity
-                    hints = np.ceil(mx * (1.0 - float(score_hint))) \
-                        .astype(np.int64)
-            hinted = _native.native_lev_hinted(a, b, hints, bounds)
-            if hinted is not None:
-                redo = np.flatnonzero(hinted == -2)
-                if len(redo):
-                    sub = _bitpar_family_distances(
-                        "levenshtein", [(a[j], b[j]) for j in redo],
-                        bounds=None if bounds is None else bounds[redo])
-                    hinted[redo] = sub
-                got = hinted
+        if ((score_hint is None and bounds is None) or not len(idx)
+                or _native.get_lib() is None):
+            return None, bounds
+        a = [s1[k] for k in idx]
+        b = [s2[k] for k in idx]
+        if score_hint is None:
+            hints = bounds  # distance form only (bounds != None)
+        elif form == "distance":
+            hints = np.full(len(idx), max(0, int(score_hint)),
+                            dtype=np.int64)
+        else:
+            l1 = np.fromiter((len(x) for x in a), np.int64, len(idx))
+            l2 = np.fromiter((len(x) for x in b), np.int64, len(idx))
+            mx = np.maximum(l1, l2)
+            if form == "similarity":
+                hints = np.maximum(mx - np.int64(int(score_hint)), 0)
+            elif form == "normalized_distance":
+                hints = np.ceil(mx * float(score_hint)).astype(np.int64)
+            else:  # normalized_similarity
+                hints = np.ceil(mx * (1.0 - float(score_hint))) \
+                    .astype(np.int64)
+        got = _native.native_banded(kind, a, b, hints, bounds)
+        if got is None:
+            return None, bounds
+        redo = np.flatnonzero(got == -2)
+        if len(redo):
+            sub = _bitpar_family_distances(
+                kind, [(a[j], b[j]) for j in redo],
+                bounds=None if bounds is None else bounds[redo])
+            got[redo] = sub
+        return got, bounds
+
+    if scorer in ("levenshtein",) and (weights is None or tuple(weights) == (1, 1, 1)):
+        got, bounds = _banded_or_none("levenshtein")
         if got is None:
             got = _bitpar_family_distances(
                 "levenshtein", [(s1[k], s2[k]) for k in idx],
@@ -441,8 +445,10 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             else:  # lcs_seq: canonical raw = distance = max(len) - lcs
                 raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
     elif scorer == "osa":
-        got = _bitpar_family_distances(
-            "osa", [(s1[k], s2[k]) for k in idx], bounds=_dist_bounds())
+        got, bounds = _banded_or_none("osa")
+        if got is None:
+            got = _bitpar_family_distances(
+                "osa", [(s1[k], s2[k]) for k in idx], bounds=bounds)
         raw[idx] = _fix_abandoned(got)
     elif scorer == "damerau_levenshtein":
         # Zhao-Sahni linear-space C kernel: O(n + sigma) memory, so no
@@ -646,7 +652,7 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     band, retried with doubling — results are always identical with or
     without it; other scorers accept and ignore it."""
     hint = None
-    if score_hint is not None and scorer == "levenshtein":
+    if score_hint is not None and scorer in ("levenshtein", "osa"):
         try:
             hint = float(score_hint)
         except (TypeError, ValueError):

@@ -161,6 +161,15 @@ def test_score_hint_banded_parity():
         for h in hints:
             got_f = batch_scores("levenshtein", form, sa, sb, score_hint=h)
             assert np.array_equal(base_f, got_f, equal_nan=True), (form, h)
+    # OSA rides the same banded path (transposition term from the
+    # row-before-previous at the same diagonal offset)
+    osa_base = batch_scores("osa", "distance", sa, sb)
+    for hint in (0, 2, 64, 10**6):
+        got_o = batch_scores("osa", "distance", sa, sb, score_hint=hint)
+        assert np.array_equal(osa_base, got_o, equal_nan=True), hint
+    osa_cut = batch_scores("osa", "distance", sa, sb, score_cutoff=5)
+    assert np.array_equal(osa_cut, np.where(osa_base <= 5, osa_base, np.nan),
+                          equal_nan=True)
 
 
 # --------------------------------------------------------------- item 5
