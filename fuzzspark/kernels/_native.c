@@ -917,3 +917,31 @@ int batch_damerau(const uint32_t *pat, const int64_t *pat_off,
     free(r); free(r1); free(fr); free(keys); free(vals);
     return 0;
 }
+
+/* ------------- partition-local union-find (round 5) ----------------- */
+/* Dense-id union-find with union-by-min-root and path halving: powers
+ * the partition-local edge pre-contraction under connected components
+ * (pipeline/cluster.py) — each Spark partition's edge set collapses to
+ * one spanning edge per non-root node BEFORE the first distributed
+ * star-round shuffle.  us/vs: m edges over dense node ids in
+ * [0, n_nodes); parent (size n_nodes) must arrive initialized to
+ * identity; on return parent[i] is the id of the component minimum
+ * (union-by-min keeps the smallest id as every root, matching the
+ * min-id cluster labels of the star rounds). */
+int batch_union_find(const int64_t *us, const int64_t *vs, int64_t m,
+                     int64_t n_nodes, int64_t *parent) {
+    for (int64_t e = 0; e < m; e++) {
+        int64_t a = us[e], b = vs[e];
+        while (parent[a] != a) { parent[a] = parent[parent[a]]; a = parent[a]; }
+        while (parent[b] != b) { parent[b] = parent[parent[b]]; b = parent[b]; }
+        if (a == b) continue;
+        if (a < b) parent[b] = a; else parent[a] = b;
+    }
+    for (int64_t i = 0; i < n_nodes; i++) {
+        int64_t r = i;
+        while (parent[r] != r) r = parent[r];
+        int64_t x = i;
+        while (parent[x] != x) { int64_t nx = parent[x]; parent[x] = r; x = nx; }
+    }
+    return 0;
+}

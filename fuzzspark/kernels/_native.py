@@ -174,6 +174,14 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
         ]
+        lib.batch_union_find.restype = ctypes.c_int
+        lib.batch_union_find.argtypes = [
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
         _LIB = lib
     except (OSError, AttributeError):
         _LIB = None
@@ -354,6 +362,43 @@ def native_jaro(pat_strs: list[str], txt_strs: list[str]) -> np.ndarray | None:
     out = np.empty(len(pat_strs), dtype=np.float64)
     rc = lib.batch_jaro(pat, pat_off, txt, txt_off, len(pat_strs), out)
     return out if rc == 0 else None
+
+
+def union_find_roots(du: np.ndarray, dv: np.ndarray,
+                     n_nodes: int) -> np.ndarray:
+    """Component minimum (as dense id) per dense node id, given edges
+    (du[i], dv[i]) over ids in [0, n_nodes).  C kernel when available
+    (~20 ns/edge), else a python union-find — identical results."""
+    lib = get_lib()
+    parent = np.arange(n_nodes, dtype=np.int64)
+    m = len(du)
+    if not m:
+        return parent
+    if lib is not None:
+        du = np.ascontiguousarray(du, dtype=np.int64)
+        dv = np.ascontiguousarray(dv, dtype=np.int64)
+        if lib.batch_union_find(du, dv, m, n_nodes, parent) == 0:
+            return parent
+    # pure-python union-by-min with path halving (fresh state in case a
+    # failed native call partially wrote into parent)
+    p = np.arange(n_nodes, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while p[x] != x:
+            p[x] = p[p[x]]
+            x = p[x]
+        return x
+
+    for a, b in zip(du.tolist(), dv.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                p[rb] = ra
+            else:
+                p[ra] = rb
+    for i in range(n_nodes):
+        p[i] = find(i)
+    return p
 
 
 def native_damerau(pat_strs: list[str], txt_strs: list[str],
