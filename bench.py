@@ -87,14 +87,31 @@ def main() -> None:
     timed("damerau_pairs", lambda: em.q_damerau(spark, SF_DIR).count())
 
     # 3. end-to-end linkage pipeline (blocking -> scoring -> clustering)
+    bench_workdirs: list[str] = []
+
     def _pipeline():
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         files = corpus_from_documents(docs)
         wd = tempfile.mkdtemp(prefix="fuzzspark_bench_")
+        bench_workdirs.append(wd)
         out = run_pipeline(spark, files, wd, LinkageConfig(threshold=0.85))
         return out["clusters"].count()
 
     timed("linkage_pipeline", _pipeline)
+
+    # per-stage attribution (round 5): the stage manifests already
+    # carry elapsed_sec — surface the LAST run's breakdown so future
+    # rounds see regressions per stage, not per pipeline
+    stage_secs: dict[str, float] = {}
+    import glob
+    for mf in sorted(glob.glob(os.path.join(bench_workdirs[-1], "*",
+                                            "_MANIFEST.json"))):
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            stage_secs[m["stage"]] = m["elapsed_sec"]
+        except Exception:
+            pass
 
     # 4. training-data extras
     timed("minhash_candidates",
@@ -116,6 +133,7 @@ def main() -> None:
         "queries_cold": colds,
         "runs_per_query": RUNS,
         "aggregation": "median",
+        "queries_stages": {"linkage_pipeline": stage_secs},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **extras,
         "cpus": CPUS,

@@ -27,7 +27,8 @@ from pyspark.sql.functions import pandas_udf
 
 from fuzzspark.kernels.batch import FORMS, SCORERS, batch_scores
 
-__all__ = ["scorer_udf", "scorer_column", "length_prefilter", "sha256_column"]
+__all__ = ["scorer_udf", "scorer_column", "length_prefilter",
+           "sha256_column", "score_pairs"]
 
 
 def _to_nullable(out: np.ndarray) -> pd.Series:
@@ -133,3 +134,52 @@ def sha256_column(col: Column | str) -> Column:
     """Per-row content integrity hash (BASELINE.json: sha256 equality)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sha2(c.cast("binary"), 256)
+
+
+def score_pairs(pairs, s1: str, s2: str, *, scorer: str = "ratio",
+                form: str = "normalized_similarity",
+                score_cutoff: Optional[float] = None,
+                keep_suppressed: bool = False, **kw):
+    """One-call scorer for ANY user DataFrame of string-pair rows
+    (round 5 public API): returns the input columns plus ``score``,
+    with the full at-scale treatment the linkage pipeline uses —
+
+    * the Catalyst-native length prefilter runs BELOW the Arrow scorer
+      UDF (pushes into joins/scans; the reference's kernel-internal
+      length prune, src/distance/levenshtein.rs:1045-1047, lifted to
+      the plan level),
+    * exact-duplicate rows short-circuit to the perfect score without
+      paying the kernel (cutoff==0 equality fast path,
+      src/distance/levenshtein.rs:1126-1128, as a plan-level branch),
+    * with a cutoff, suppressed rows are filtered unless
+      ``keep_suppressed=True`` keeps them as NULL scores (reference
+      Option::None, src/common.rs:33-86).
+
+    Extra kwargs (``weights``, ``pad``, ``prefix_weight``) pass through
+    to :func:`scorer_column`.
+
+        from fuzzspark.functions import score_pairs
+        matches = score_pairs(df, "name_a", "name_b",
+                              scorer="jaro_winkler", score_cutoff=0.9)
+    """
+    c1, c2 = F.col(s1), F.col(s2)
+    df = pairs
+    if (score_cutoff is not None and not keep_suppressed
+            and form == "normalized_similarity"):
+        df = df.where(length_prefilter(
+            F.length(c1), F.length(c2), scorer, score_cutoff,
+            prefix_weight=kw.get("prefix_weight", 0.1)))
+    udf_col = scorer_column(scorer, c1, c2, form,
+                            score_cutoff=score_cutoff, **kw)
+    # equal strings score perfectly in every metric; NULL inputs fail
+    # the equality (SQL NULL semantics) and fall through to the UDF,
+    # which returns NULL for them.  The raw-'similarity' form's perfect
+    # value is length/scorer-dependent — no short-circuit there.
+    perfect = {"distance": F.lit(0.0), "normalized_distance": F.lit(0.0),
+               "normalized_similarity": F.lit(1.0)}.get(form)
+    score = (F.when(c1 == c2, perfect).otherwise(udf_col)
+             if perfect is not None else udf_col)
+    out = df.withColumn("score", score)
+    if score_cutoff is not None and not keep_suppressed:
+        out = out.where(F.col("score").isNotNull())
+    return out

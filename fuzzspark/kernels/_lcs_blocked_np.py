@@ -17,10 +17,32 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["lcs_blocked_batch"]
+__all__ = ["lcs_blocked_batch", "width_chunks"]
 
 _U1 = np.uint64(1)
 _CHAR_BITS = 21  # unicode code points < 2^21
+
+
+def width_chunks(widths, budget: int = 1 << 22, max_rows: int = 16384):
+    """Yield index arrays grouping rows (ascending by width) so that
+    rows * chunk_max_width stays under ``budget`` elements — bounds the
+    padded-matrix allocations of the numpy fallback kernels regardless
+    of length skew (round 5: one ~100 KB document in a 10k-row Arrow
+    batch must not allocate a 10k x 100k matrix).  A single row wider
+    than the budget gets its own chunk (its matrix is 1 x width)."""
+    widths = np.asarray(widths, dtype=np.int64)
+    order = np.argsort(widths, kind="stable")
+    n = len(order)
+    start = 0
+    while start < n:
+        end = start + 1
+        # ascending order: the chunk max width is the last row's width
+        while (end < n and end - start < max_rows
+               and (end - start + 1) * max(1, int(widths[order[end]]))
+               <= budget):
+            end += 1
+        yield order[start:end]
+        start = end
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:
@@ -100,14 +122,18 @@ def lcs_blocked_batch(pat_strs: list[str], txt_strs: list[str],
                       chunk: int = 16384) -> np.ndarray:
     """LCS lengths for string pairs; patterns should be the shorter side
     (LCS is symmetric).  Handles any length; cost O(n2 * ceil(n1/64))
-    per pair with the pair axis vectorized."""
+    per pair with the pair axis vectorized.  Chunks are width-aware
+    (width_chunks): the per-chunk (rows x n2max) text-key matrix stays
+    bounded even when one text is orders of magnitude longer than the
+    rest."""
     P = len(pat_strs)
     out = np.zeros(P, dtype=np.int64)
     if not P:
         return out
-    for lo in range(0, P, chunk):
-        hi = min(lo + chunk, P)
-        out[lo:hi] = _lcs_chunk(pat_strs[lo:hi], txt_strs[lo:hi])
+    tl = np.fromiter((len(s) for s in txt_strs), dtype=np.int64, count=P)
+    for sel in width_chunks(tl, max_rows=chunk):
+        out[sel] = _lcs_chunk([pat_strs[j] for j in sel],
+                              [txt_strs[j] for j in sel])
     return out
 
 

@@ -9,9 +9,12 @@ entire Arrow batch.  Strategy per pair family:
   across-pair bit-parallel kernels and long remainders to big-int
   bit-parallel cores with per-distinct-pattern mask reuse — the
   ``BatchComparator`` analog (src/distance/levenshtein.rs:1636-1657).
-* ``jaro`` / ``jaro_winkler``: O(n+m) greedy window matching per pair.
-* ``hamming`` / ``prefix`` / ``postfix`` / weighted ``levenshtein`` /
-  ``damerau_levenshtein``: scalar kernels per pair.
+* ``jaro`` / ``jaro_winkler``: C batch kernel + vectorized prefix boost.
+* ``hamming``: one flat element-compare + cumsum segment sums across
+  the whole batch (no per-pair loop, no padded matrix).
+* ``prefix`` / ``postfix``: C affix scan.  Weighted ``levenshtein`` /
+  ``damerau_levenshtein``: batch reductions / C kernel; scalar python
+  only as no-compiler fallback.
 
 Outputs are float64 arrays with NaN for NULL inputs or cutoff-
 suppressed scores (reference ``Option::None``, src/common.rs:33-86).
@@ -26,7 +29,7 @@ import numpy as np
 from . import fuzz as _fuzz
 from ._bitpar import lcs_core, levenshtein_core, osa_core, pattern_masks
 from ._bitpar_np import lcs_batch64, levenshtein_batch64, osa_batch64
-from ._lcs_blocked_np import lcs_blocked_batch
+from ._lcs_blocked_np import lcs_blocked_batch, width_chunks
 from . import _native
 
 _NATIVE_KIND = {"lcs_seq": _native.KIND_LCS, "levenshtein": _native.KIND_LEV,
@@ -36,7 +39,6 @@ from .metrics import (
     HammingError,
     _lev_maximum,
     damerau_distance_raw,
-    hamming_distance_raw,
     jaro_similarity_raw,
     jaro_winkler_similarity_raw,
     levenshtein_distance_raw,
@@ -204,9 +206,16 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]],
             long_idx.append(k)
             long_pairs.append((a, b))
     if short_pairs:
-        c1, l1 = _pad_codes([p[0] for p in short_pairs])
-        c2, l2 = _pad_codes([p[1] for p in short_pairs])
-        out[short_idx] = np_core(c1, l1, c2, l2)
+        # width-aware chunking (round 5): the text-side padded matrix
+        # is bounded at rows*max_width <= budget elements, so one long
+        # document in the batch can't blow the allocation up
+        t_lens = np.fromiter((len(b) for _a, b in short_pairs),
+                             dtype=np.int64, count=len(short_pairs))
+        sidx = np.asarray(short_idx, dtype=np.int64)
+        for sel in width_chunks(t_lens):
+            c1, l1 = _pad_codes([short_pairs[j][0] for j in sel])
+            c2, l2 = _pad_codes([short_pairs[j][1] for j in sel])
+            out[sidx[sel]] = np_core(c1, l1, c2, l2)
     if long_pairs:
         if kind == "lcs_seq":
             # blocked numpy kernel, vectorized across pairs; LCS is
@@ -463,17 +472,48 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             for k in idx:
                 raw[k] = damerau_distance_raw(s1[k], s2[k])
     elif scorer == "hamming":
-        bad = []
-        for k in idx:
-            try:
-                raw[k] = hamming_distance_raw(s1[k], s2[k], pad=pad)
-            except HammingError:
+        # vectorized (round 5): ONE flat element-compare over every
+        # pair's overlapping prefix + cumsum segment sums — no per-pair
+        # python loop, no padded matrix (memory = total chars).  The
+        # overhang of unequal-length pairs counts as mismatches when
+        # pad=True (src/distance/hamming.rs:138-161) and is an error
+        # row otherwise (Err(DifferentLengthArgs), :121-124).
+        a = [s1[k] for k in idx]
+        b = [s2[k] for k in idx]
+        l1 = np.fromiter((len(x) for x in a), np.int64, count=len(idx))
+        l2 = np.fromiter((len(x) for x in b), np.int64, count=len(idx))
+        if not pad:
+            bad_rel = np.flatnonzero(l1 != l2)
+            if len(bad_rel):
                 if errors == "raise":
-                    raise
-                bad.append(k)
-        if bad:
-            valid = valid.copy()
-            valid[bad] = False
+                    raise HammingError(
+                        "Differing length arguments provided")
+                valid = valid.copy()
+                valid[idx[bad_rel]] = False
+        m = np.minimum(l1, l2)
+        tot = int(m.sum())
+        mism = np.zeros(len(idx), dtype=np.int64)
+        if tot:
+            c1, off1, es1 = _native._flatten_raw(a, l1)
+            c2, off2, es2 = _native._flatten_raw(b, l2)
+            if es1 != es2:  # ASCII byte == code point, widening exact
+                if es1 == 1:
+                    c1 = c1.astype(np.uint32)
+                else:
+                    c2 = c2.astype(np.uint32)
+            ends = np.cumsum(m)
+            if np.array_equal(l1, l2):
+                # equal lengths everywhere (the dominant hamming case):
+                # the two flat arrays align position-for-position
+                neq = c1 != c2
+            else:
+                seg = (np.arange(tot, dtype=np.int64)
+                       - np.repeat(ends - m, m))
+                neq = (c1[np.repeat(off1[:-1], m) + seg]
+                       != c2[np.repeat(off2[:-1], m) + seg])
+            cs = np.concatenate([[0], np.cumsum(neq)])
+            mism = cs[ends] - cs[ends - m]
+        raw[idx] = mism + (np.maximum(l1, l2) - m)
     elif scorer in ("jaro", "jaro_winkler"):
         a = [s1[k] for k in idx]
         b = [s2[k] for k in idx]
@@ -534,9 +574,22 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         # sect is a PREFIX of both combined strings, so LCS(sect, cX) ==
         # len(sect) and the two containment ratios are pure length
         # arithmetic (same algebra the reference's token_set uses);
-        # only the (c1, c2) pair pays the batched LCS kernel.  Token
-        # sets are cached per DISTINCT string (candidate batches repeat
-        # strings heavily).
+        # only the (c1, c2) pair pays the batched LCS kernel.  Round 5:
+        # ALL per-pair work (tokenize, set algebra, string building,
+        # the LCS kernel) runs once per DISTINCT (s1, s2) pair and
+        # scatters back — candidate batches (one-vs-many extracts,
+        # block joins) repeat pairs heavily; token sets additionally
+        # cache per distinct string.
+        pair_gid: dict[tuple[str, str], int] = {}
+        d_pairs: list[tuple[str, str]] = []
+        dmap = np.empty(len(idx), dtype=np.int64)
+        for pos, k in enumerate(idx):
+            key = (s1[k], s2[k])
+            g = pair_gid.get(key)
+            if g is None:
+                g = pair_gid[key] = len(d_pairs)
+                d_pairs.append(key)
+            dmap[pos] = g
         tok_cache: dict[str, frozenset] = {}
 
         def _tokset(s: str) -> frozenset:
@@ -546,9 +599,9 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             return v
 
         cpairs: list[tuple[str, str]] = []
-        base = np.zeros(len(idx))
-        for pos, k in enumerate(idx):
-            t1, t2 = _tokset(s1[k]), _tokset(s2[k])
+        base = np.zeros(len(d_pairs))
+        for pos, (x, y) in enumerate(d_pairs):
+            t1, t2 = _tokset(x), _tokset(y)
             sect = " ".join(sorted(t1 & t2))
             c1 = (sect + " " + " ".join(sorted(t1 - t2))).strip()
             c2 = (sect + " " + " ".join(sorted(t2 - t1))).strip()
@@ -559,7 +612,7 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
             r2 = 1.0 if ls + l2c == 0 else 1.0 - (ls + l2c - 2 * ls) / (ls + l2c)
             base[pos] = r1 if r1 >= r2 else r2
         if len(idx):
-            raw[idx] = np.maximum(base, _ratio_sims(cpairs))
+            raw[idx] = np.maximum(base, _ratio_sims(cpairs))[dmap]
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     return raw, valid

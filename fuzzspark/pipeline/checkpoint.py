@@ -121,7 +121,7 @@ class StageRunner:
         except ImportError:  # pragma: no cover — very old pyspark
             self._write(df, out_dir)
         persisted = self._read(out_dir)
-        partition_rows = self._partition_rows(out_dir, persisted)
+        partition_rows, rows_kind = self._partition_rows(out_dir, persisted)
         manifest = {
             "stage": stage,
             "params_hash": params_hash(self.params),
@@ -129,6 +129,7 @@ class StageRunner:
                           else int(sum(partition_rows.values()))),
             "schema": persisted.schema.jsonValue(),
             "partition_rows": partition_rows,
+            "partition_rows_kind": rows_kind,
             "elapsed_sec": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             "complete": True,
@@ -148,11 +149,22 @@ class StageRunner:
         self.stages_run.append(stage)
         return persisted
 
-    def _partition_rows(self, out_dir: str, persisted: DataFrame) -> dict:
-        """Per-partition lineage rows.  For parquet the counts come from
-        the file FOOTERS (driver-side metadata read, zero Spark jobs and
-        zero data scanned — the scalable answer at 100 TB); other
-        formats pay the one-pass spark_partition_id() census."""
+    def _partition_rows(self, out_dir: str,
+                        persisted: DataFrame) -> tuple[dict, str]:
+        """Per-partition lineage rows -> (counts, kind).  The two paths
+        key counts DIFFERENTLY and the manifest records which via
+        ``partition_rows_kind`` (ADVICE r4):
+
+        * parquet: counts per OUTPUT FILE from the file footers, keyed
+          by sorted-filename index (driver-side metadata read, zero
+          Spark jobs and zero data scanned — the scalable answer at
+          100 TB); kind ``output_files``.  The glob is flat — a future
+          partitionBy subdirectory layout would need a recursive glob.
+        * other formats: one-pass census keyed by the READ-BACK
+          ``spark_partition_id()`` (splits/merges per
+          maxPartitionBytes, so keys are not comparable to the file
+          view); kind ``read_partitions``.
+        """
         if self.table_format == "parquet":
             try:
                 import duckdb
@@ -160,10 +172,11 @@ class StageRunner:
                     "SELECT file_name, num_rows FROM parquet_file_metadata("
                     f"'{out_dir}/*.parquet')").fetchall()
                 if rows:
-                    return {i: int(nr) for i, (_fn, nr)
-                            in enumerate(sorted(rows))}
+                    return ({i: int(nr) for i, (_fn, nr)
+                             in enumerate(sorted(rows))}, "output_files")
             except Exception:  # pragma: no cover — fall back to the scan
                 pass
         part_counts = (persisted.groupBy(F.spark_partition_id().alias("pid"))
                        .count().collect())
-        return {int(r["pid"]): int(r["count"]) for r in part_counts}
+        return ({int(r["pid"]): int(r["count"]) for r in part_counts},
+                "read_partitions")

@@ -33,6 +33,12 @@ def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
     write petabytes); the scoring stage joins content by id instead.
     ``exact_equal`` therefore compares the sha256 of the contents —
     identical decisions, 64 bytes per side instead of the documents.
+
+    ``broadcast_threshold`` (rows; round 5): when set and the sides
+    projection (id + len + sha) has at most that many rows, broadcast
+    it so both attach joins become BroadcastHashJoins and the amplified
+    pair-id set never shuffles.  None (default) leaves the choice to
+    Catalyst/AQE statistics.
     """
     cols = set(files.columns)
     sides = files.select(
@@ -56,6 +62,14 @@ def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
     rf = sides.select(F.col("id").alias("right_id"),
                       F.col("content_len").alias("len2"),
                       F.col("_sha").alias("_sha2"))
+    if broadcast_threshold is not None and broadcast_threshold > 0 \
+            and sides.count() <= broadcast_threshold:
+        # the sides projection is ~80 B/row (id + len + sha); when it
+        # fits, broadcasting turns both attach joins into
+        # BroadcastHashJoins — the (amplified) pair-id set never
+        # shuffles.  The deciding count is one cheap job (parquet
+        # inputs answer from footer statistics).
+        lf, rf = F.broadcast(lf), F.broadcast(rf)
     pairs = (pair_ids.join(lf, "left_id").join(rf, "right_id")
              .withColumn("exact_equal", F.col("_sha1") == F.col("_sha2")))
     # Catalyst-native prune: pairs that cannot reach the cutoff by length

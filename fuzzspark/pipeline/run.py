@@ -8,6 +8,8 @@ resumes mid-pipeline after a kill.  All heavy compute is vectorized
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -71,17 +73,43 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # round-robin shuffle also rebalances the scorer stage
         return df.repartition(target)
 
-    files_ck = runner.run(
-        "01_files",
-        lambda: files.withColumn("content_sha256", sha256_column("content"))
-                     .withColumn("content_len", F.length("content")))
+    integrity_obs: list = []
 
-    # per-row integrity: recompute sha256 on the persisted stage and
-    # anti-join against the in-flight hash — any drift fails loudly.
-    drift = (files_ck
-             .withColumn("_recheck", sha256_column("content"))
-             .where(F.col("_recheck") != F.col("content_sha256")))
-    n_drift = drift.limit(1).count()
+    def _files():
+        # a source-provided content_sha256 column is KEPT as the
+        # source-table assertion (BASELINE: per-row sha256 equality vs
+        # the source); otherwise the hash is computed here and the
+        # check degenerates to in-flight self-consistency
+        df = files
+        if "content_sha256" not in files.columns:
+            df = df.withColumn("content_sha256", sha256_column("content"))
+        df = df.withColumn("content_len", F.length("content"))
+        # round 5: the per-row integrity check RIDES THE WRITE JOB (an
+        # Observation counting recomputed-sha mismatches) instead of
+        # paying a second full corpus scan per run — at 100 TB the old
+        # re-scan was the same size as the write itself
+        try:
+            from pyspark.sql import Observation
+            obs = Observation("integrity_01_files")
+            df = df.observe(obs, F.sum(
+                (sha256_column("content") != F.col("content_sha256"))
+                .cast("long")).alias("sha_mismatch"))
+            integrity_obs.append(obs)
+        except ImportError:  # pragma: no cover — very old pyspark
+            pass
+        return df
+
+    files_ck = runner.run("01_files", _files)
+
+    if integrity_obs and "01_files" in runner.stages_run:
+        n_drift = int(integrity_obs[0].get["sha_mismatch"] or 0)
+    else:
+        # resumed (stage skipped — no write job to ride): verify the
+        # PERSISTED stage instead, i.e. the storage roundtrip
+        n_drift = (files_ck
+                   .withColumn("_recheck", sha256_column("content"))
+                   .where(F.col("_recheck") != F.col("content_sha256"))
+                   .limit(1).count())
     if n_drift:
         raise RuntimeError("content sha256 integrity violation in 01_files")
 
@@ -119,7 +147,12 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # semantics src/common.rs:73-86)
         out_cols = ["left_id", "right_id", "len1", "len2",
                     "exact_equal", "score"]
-        exact = (pairs.where(F.col("exact_equal"))
+        # NULL-safe split (ADVICE r4): under three-valued logic a bare
+        # predicate AND its negation both drop NULL rows — coalesce so
+        # a NULL exact_equal (NULL content/sha) takes the scorer path
+        # and surfaces as a NULL score, as the old when/otherwise did
+        exact_flag = F.coalesce(F.col("exact_equal"), F.lit(False))
+        exact = (pairs.where(exact_flag)
                  .withColumn("score", F.lit(1.0)).select(*out_cols))
         content = files_ck.select("id", "content")
         # the content joins distribute their output across
@@ -128,7 +161,7 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # a post-join widen() would re-shuffle every text-attached row
         # a second time — at the 200x tier that extra shuffle alone is
         # ~100 GB
-        todo = (pairs.where(~F.col("exact_equal"))
+        todo = (pairs.where(~exact_flag)
                 .join(content.select(F.col("id").alias("left_id"),
                                      F.col("content").alias("s1")),
                       "left_id")
@@ -145,14 +178,14 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
 
     cc_stats: dict = {}
 
+    cc_dir = os.path.join(workdir, "_cc_checkpoint")
+
     def _cluster():
         # reliable per-round checkpoints for the CC fixpoint: a lost
         # localCheckpoint block is unrecoverable (truncated lineage);
         # checkpoint files under the workdir survive eviction/executor
         # loss and cost one small write per contracted round
-        import os
-        spark.sparkContext.setCheckpointDir(
-            os.path.join(workdir, "_cc_checkpoint"))
+        spark.sparkContext.setCheckpointDir(cc_dir)
         edges = scores.where(F.col("score") >= cfg.threshold) \
                       .select("left_id", "right_id")
         labels = connected_components(
@@ -162,9 +195,27 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         return (files_ck.select("id").join(labels, "id", "left_outer")
                 .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))
 
+    # the stage's global session state is restored afterwards (ADVICE
+    # r4): capture any pre-existing checkpoint dir before _cluster
+    # overrides it
+    try:
+        prev_opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ck = prev_opt.get() if prev_opt.isDefined() else None
+    except Exception:  # pragma: no cover — py4j API drift
+        prev_ck = None
+
     # cc_stats lands in the 05_clusters manifest: per-round contracted
     # edge counts size the cc_driver_finish knob at any scale
     clusters = runner.run("05_clusters", _cluster, extra_manifest=cc_stats)
+
+    # 05_clusters is persisted, so the CC round checkpoints are dead
+    # weight — delete them (they'd otherwise accumulate for the life of
+    # the app, one dir per round) and put the session's checkpoint dir
+    # back where the caller had it.  On a crash mid-CC the files simply
+    # stay for the next attempt; CC recomputes from 04_scores anyway.
+    shutil.rmtree(cc_dir, ignore_errors=True)
+    if prev_ck and prev_ck != cc_dir:
+        spark.sparkContext.setCheckpointDir(prev_ck)
 
     return dict(files=files_ck, blocks=blocks, pairs=pairs, scores=scores,
                 clusters=clusters, runner=runner)
