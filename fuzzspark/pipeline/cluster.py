@@ -98,32 +98,21 @@ def _driver_union_find(e: DataFrame) -> DataFrame:
     smaller id is always kept as the root of any union).  The standard
     small-tail cutoff for iterative CC: the last rounds of star
     contraction operate on a tiny graph where per-round distributed job
-    overhead dominates, at ANY input scale."""
+    overhead dominates, at ANY input scale.  Round 5: same C union-find
+    kernel as the partition pre-contraction (a python dict loop over
+    the 1M-edge default threshold cost seconds of driver time)."""
+    import numpy as np
     import pandas as pd
 
+    from fuzzspark.kernels._native import union_find_roots
+
     pdf = e.toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:
-            parent[x], x = r, parent[x]
-        return r
-
-    for u, v in zip(pdf["u"].to_numpy(), pdf["v"].to_numpy()):
-        ru, rv = find(int(u)), find(int(v))
-        if ru != rv:
-            if ru < rv:
-                parent[rv] = ru
-            else:
-                parent[ru] = rv
-    nodes = pd.unique(pd.concat([pdf["u"], pdf["v"]], ignore_index=True))
-    labels = pd.DataFrame({
-        "id": nodes.astype("int64"),
-        "cluster_id": [find(int(n)) for n in nodes],
-    })
+    u = pdf["u"].to_numpy(dtype=np.int64, copy=False)
+    v = pdf["v"].to_numpy(dtype=np.int64, copy=False)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    inv = inv.reshape(-1)
+    roots = union_find_roots(inv[: len(u)], inv[len(u):], len(nodes))
+    labels = pd.DataFrame({"id": nodes, "cluster_id": nodes[roots]})
     return e.sparkSession.createDataFrame(labels,
                                           "id: long, cluster_id: long")
 
