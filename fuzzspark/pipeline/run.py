@@ -23,6 +23,36 @@ from fuzzspark.pipeline.pairs import candidate_pairs
 __all__ = ["LinkageConfig", "run_pipeline"]
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string -> bytes ('16m', '128MB', '134217728')."""
+    s = str(v).strip().lower()
+    mult = 1
+    for suf, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                   ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                   ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suf):
+            s, mult = s[: -len(suf)], m
+            break
+    try:
+        return int(float(s) * mult)
+    except ValueError:
+        return 0
+
+
+def _dir_bytes(path: str) -> int | None:
+    """Total data-file bytes of a persisted stage dir (driver-side
+    listing; the same listing any scan planning pays)."""
+    try:
+        total = 0
+        for f in os.listdir(path):
+            if f.startswith(("_", ".")):
+                continue
+            total += os.path.getsize(os.path.join(path, f))
+        return total
+    except OSError:
+        return None
+
+
 @dataclass
 class LinkageConfig:
     scorer: str = "ratio"
@@ -59,18 +89,28 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     runner = StageRunner(spark, workdir, params=cfg.as_dict(),
                          table_format=cfg.table_format)
 
-    def widen(df: DataFrame) -> DataFrame:
+    def widen(df: DataFrame, input_bytes: int | None = None) -> DataFrame:
         """Guarantee a UDF-heavy stage gets enough tasks even when its
         input is a small persisted stage (single parquet split).  Width
         is tunable via spark conf ``fuzzspark.python.parallelism``
         (single-box local mode saturates memory bandwidth well below
-        the vCPU count — see BENCH_SCALING.md)."""
+        the vCPU count — see BENCH_SCALING.md).
+
+        Round 5: when the caller knows the on-disk input size and the
+        scan ALONE already yields >= target splits
+        (bytes / maxPartitionBytes), the repartition is skipped — at
+        100 TB the unconditional widen re-shuffles the entire corpus
+        just to guarantee task parallelism the file splits deliver for
+        free.  (df.rdd.getNumPartitions() would answer the same
+        question but forces an RDD conversion of the analyzed plan.)"""
         default = spark.sparkContext.defaultParallelism
         target = int(spark.conf.get("fuzzspark.python.parallelism",
                                     str(default)))
-        # unconditional: checking df.rdd.getNumPartitions() would force
-        # an RDD conversion of the analyzed plan on every call; the
-        # round-robin shuffle also rebalances the scorer stage
+        if input_bytes is not None:
+            mpb = _parse_bytes(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"))
+            if mpb > 0 and input_bytes // mpb >= target:
+                return df
         return df.repartition(target)
 
     integrity_obs: list = []
@@ -120,7 +160,9 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # tiny on disk and would otherwise reach the python workers as a
         # single input split; persist so the small/big branches of the
         # skew census reuse one computation instead of re-running the UDF
-        bk = block_keys(widen(files_ck), use_exact=cfg.use_exact,
+        bk = block_keys(widen(files_ck,
+                              input_bytes=_dir_bytes(runner._dir("01_files"))),
+                        use_exact=cfg.use_exact,
                         use_path=cfg.use_path, use_minhash=cfg.use_minhash,
                         n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band,
                         shingle=cfg.shingle, max_chars=cfg.max_chars).persist()

@@ -159,6 +159,27 @@ def test_broadcast_threshold_functional(spark, small_corpus):
     assert key(on) == key(off)
 
 
+def test_widen_skip_decision_parts(tmp_path):
+    """The round-5 conditional widen: size parsing + stage-dir sizing
+    (the scan-splits-vs-target decision that lets a big persisted stage
+    skip the corpus-wide repartition shuffle)."""
+    from fuzzspark.pipeline.run import _dir_bytes, _parse_bytes
+
+    assert _parse_bytes("16m") == 16 << 20
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128MB") == 128 << 20
+    assert _parse_bytes("2g") == 2 << 30
+    assert _parse_bytes("bogus") == 0
+    d = tmp_path / "stage"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x" * 1000)
+    (d / "part-1.parquet").write_bytes(b"y" * 500)
+    (d / "_MANIFEST.json").write_bytes(b"{}")  # metadata excluded
+    (d / "._SUCCESS.crc").write_bytes(b"z")
+    assert _dir_bytes(str(d)) == 1500
+    assert _dir_bytes(str(tmp_path / "missing")) is None
+
+
 def test_score_pairs_one_call_api(spark):
     """README recipe: score any two string columns at scale — length
     prefilter below the UDF, exact-dup short-circuit, cutoff filter."""
