@@ -630,6 +630,23 @@ def q_simhash(spark, sf_dir):
     return d.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
 
 
+def q_score_pairs_jw(spark, sf_dir):
+    """The round-5 one-call public API (`fuzzspark.functions
+    .score_pairs`): jaro_winkler over customer x supplier name pairs
+    plus planted exact-dup rows, cutoff 0.73 — exercises the length
+    prefilter below the UDF, the exact-dup short-circuit (score 1.0
+    without paying the kernel) and the plan-visible cutoff filter in
+    one call."""
+    from fuzzspark.functions import score_pairs
+    p = _name_pairs(spark, sf_dir)
+    dups = (p.where(F.col("c_custkey") % 50 == 0)
+            .withColumn("s_name", F.col("c_name")))
+    out = score_pairs(p.unionByName(dups), "c_name", "s_name",
+                      scorer="jaro_winkler", score_cutoff=0.73)
+    return out.select("c_custkey", "s_suppkey",
+                      F.round("score", 6).alias("jw_score"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "levenshtein": q_levenshtein,
@@ -638,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "damerau_levenshtein": q_damerau,
         "jaro": q_jaro,
         "jaro_winkler": q_jaro_winkler,
+        "score_pairs_jw": q_score_pairs_jw,
         "hamming": q_hamming,
         "hamming_padded": q_hamming_padded,
         "prefix": q_prefix,
@@ -1208,6 +1226,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.c_custkey, s.s_suppkey, "
             "ROUND(jaro_winkler_similarity(c.c_name, s.s_name), 6) AS jw_sim "
             + _NAME_PAIRS_SQL,
+        "score_pairs_jw":
+            "WITH np AS (SELECT c.c_custkey, s.s_suppkey, "
+            "c.c_name AS n1, s.s_name AS n2 " + _NAME_PAIRS_SQL + "), "
+            "pairs AS (SELECT * FROM np UNION ALL "
+            "SELECT c_custkey, s_suppkey, n1, n1 FROM np "
+            "WHERE c_custkey % 50 = 0) "
+            "SELECT c_custkey, s_suppkey, "
+            "ROUND(CASE WHEN n1 = n2 THEN 1.0 "
+            "ELSE jaro_winkler_similarity(n1, n2) END, 6) AS jw_score "
+            "FROM pairs WHERE n1 = n2 "
+            "OR jaro_winkler_similarity(n1, n2) >= 0.73",
         "hamming":
             "SELECT c.c_custkey, s.s_suppkey, "
             "CAST(hamming(c.c_name, s.s_name) AS BIGINT) AS ham "
