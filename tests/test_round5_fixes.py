@@ -316,6 +316,16 @@ def test_width_chunks_bounds_and_covers():
     assert seen.all()
 
 
+def test_cc_pre_contract_empty_and_single(spark):
+    from fuzzspark.pipeline.cluster import connected_components
+
+    empty = spark.createDataFrame([], "left_id: long, right_id: long")
+    assert connected_components(empty).count() == 0
+    one = spark.createDataFrame([(1, 2)], "left_id: long, right_id: long")
+    assert sorted(map(tuple, connected_components(one).collect())) == \
+        [(1, 1), (2, 1)]
+
+
 @pytest.mark.parametrize("driver_finish", [0, 1_000_000])
 def test_cc_pre_contract_identical_labels(spark, driver_finish):
     from fuzzspark.pipeline.cluster import connected_components
