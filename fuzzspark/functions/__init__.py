@@ -164,8 +164,13 @@ def score_pairs(pairs, s1: str, s2: str, *, scorer: str = "ratio",
     """
     c1, c2 = F.col(s1), F.col(s2)
     df = pairs
+    w = kw.get("weights")
+    uniform = w is None or tuple(w) == (1, 1, 1)
     if (score_cutoff is not None and not keep_suppressed
-            and form == "normalized_similarity"):
+            and form == "normalized_similarity" and uniform):
+        # the length bound assumes uniform edit costs — with a custom
+        # WeightTable the prune could wrongly suppress, so skip it (the
+        # kernel-internal prune in batch_scores makes the same call)
         df = df.where(length_prefilter(
             F.length(c1), F.length(c2), scorer, score_cutoff,
             prefix_weight=kw.get("prefix_weight", 0.1)))

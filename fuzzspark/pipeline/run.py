@@ -68,8 +68,12 @@ class LinkageConfig:
     use_minhash: bool = True
     cc_max_iter: int = 20
     # finish CC driver-side once the contracted edge set is this small
-    # (0 = fully-distributed fixpoint)
-    cc_driver_finish: int = 1_000_000
+    # (0 = fully-distributed fixpoint).  4M edges is ~64 MB as int64
+    # pairs driver-side — cheap on any real driver; the 400x smoke's
+    # converged 2M-edge graph paid 4 distributed rounds against the
+    # old 1M threshold (manifest round_edges shows the sizing at each
+    # tier)
+    cc_driver_finish: int = 4_000_000
     # stage-storage DataSource format (parquet/orc/...; "iceberg" with
     # the runtime jar + catalog configured)
     table_format: str = "parquet"
