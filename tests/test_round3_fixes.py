@@ -117,7 +117,9 @@ def test_cc_stats_surfaced(spark, tmp_path):
                        LinkageConfig(threshold=0.85))
     m = json.load(open(out["runner"].manifest_path("05_clusters")))
     assert m["extra"]["round_edges"], m
-    assert m["extra"]["driver_finish_threshold"] == 1_000_000
+    # round 5 raised the default driver-finish threshold to 4M edges
+    # (~64 MB driver-side with the C union-find)
+    assert m["extra"]["driver_finish_threshold"] == 4_000_000
 
 
 def test_native_uint8_path_parity():
