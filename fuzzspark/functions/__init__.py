@@ -99,11 +99,20 @@ def length_prefilter(len1: Column, len2: Column, scorer: str,
       the equality of the bound.
     hamming/prefix/postfix: sim <= min/max.
     """
+    if scorer in ("partial_ratio", "token_set_ratio", "token_sort_ratio"):
+        # NO valid length bound exists for these composites (ADVICE r5):
+        # partial_ratio scores a short string CONTAINED in a long one at
+        # 1.0; token_set_ratio('alpha', 'alpha beta ... zeta') == 1.0;
+        # token_sort_ratio collapses whitespace ('a   b' vs 'a b' ->
+        # 1.0), so raw input lengths bound none of them.  Pruning here
+        # would silently drop perfect matches — emit TRUE (no prune);
+        # their cost control is blocking/candidate generation, not a
+        # length prune.
+        return F.lit(True)
     lo = F.least(len1, len2).cast("double")
     hi = F.greatest(len1, len2).cast("double")
     both_empty = (len1 + len2) == 0
-    if scorer in ("ratio", "indel", "partial_ratio", "token_sort_ratio",
-                  "token_set_ratio"):
+    if scorer in ("ratio", "indel"):
         bound = F.when(both_empty, F.lit(1.0)).otherwise(
             2.0 * lo / (len1 + len2).cast("double"))
     elif scorer in ("jaro", "jaro_winkler"):
@@ -148,9 +157,10 @@ def score_pairs(pairs, s1: str, s2: str, *, scorer: str = "ratio",
       UDF (pushes into joins/scans; the reference's kernel-internal
       length prune, src/distance/levenshtein.rs:1045-1047, lifted to
       the plan level),
-    * exact-duplicate rows short-circuit to the perfect score without
-      paying the kernel (cutoff==0 equality fast path,
-      src/distance/levenshtein.rs:1126-1128, as a plan-level branch),
+    * exact-duplicate rows are split off BEFORE the scorer UDF and
+      unioned back with the perfect score — they genuinely never reach
+      the ArrowEvalPython node (cutoff==0 equality fast path,
+      src/distance/levenshtein.rs:1126-1128, as a plan-level split),
     * with a cutoff, suppressed rows are filtered unless
       ``keep_suppressed=True`` keeps them as NULL scores (reference
       Option::None, src/common.rs:33-86).
@@ -176,15 +186,24 @@ def score_pairs(pairs, s1: str, s2: str, *, scorer: str = "ratio",
             prefix_weight=kw.get("prefix_weight", 0.1)))
     udf_col = scorer_column(scorer, c1, c2, form,
                             score_cutoff=score_cutoff, **kw)
-    # equal strings score perfectly in every metric; NULL inputs fail
-    # the equality (SQL NULL semantics) and fall through to the UDF,
-    # which returns NULL for them.  The raw-'similarity' form's perfect
-    # value is length/scorer-dependent — no short-circuit there.
+    # equal strings score perfectly in every metric; the exact rows are
+    # SPLIT OFF before the UDF and unioned back (ADVICE r5: a when()
+    # branch over the UDF column still evaluates the extracted
+    # ArrowEvalPython node for every row — only a plan-level split
+    # actually skips the kernel, as the pipeline score stage does).
+    # NULL inputs fail the equality (SQL NULL semantics) and take the
+    # scorer path, which returns NULL for them.  The raw-'similarity'
+    # form's perfect value is length/scorer-dependent — no
+    # short-circuit there.
     perfect = {"distance": F.lit(0.0), "normalized_distance": F.lit(0.0),
                "normalized_similarity": F.lit(1.0)}.get(form)
-    score = (F.when(c1 == c2, perfect).otherwise(udf_col)
-             if perfect is not None else udf_col)
-    out = df.withColumn("score", score)
+    if perfect is not None:
+        eq = F.coalesce(c1 == c2, F.lit(False))
+        exact = df.where(eq).withColumn("score", perfect)
+        out = (df.where(~eq).withColumn("score", udf_col)
+               .unionByName(exact))
+    else:
+        out = df.withColumn("score", udf_col)
     if score_cutoff is not None and not keep_suppressed:
         out = out.where(F.col("score").isNotNull())
     return out

@@ -20,10 +20,19 @@ __all__ = ["connected_components"]
 
 
 def _as_uv(edges: DataFrame) -> DataFrame:
+    """Normalize to (u, v) and DROP self-loops: a self-loop carries no
+    connectivity, and dropping it here makes the pre-contracted and
+    plain paths agree (ADVICE r5: the local union-find emits no edge
+    for a node that is its own root, so a self-loop-only node vanished
+    under pre_contract=True but survived under False).  A node whose
+    only edges are self-loops is treated as isolated — not returned,
+    exactly like a node absent from ``edges``."""
     if "left_id" in edges.columns:
-        return edges.select(F.col("left_id").alias("u"),
-                            F.col("right_id").alias("v"))
-    return edges.select("u", "v")
+        edges = edges.select(F.col("left_id").alias("u"),
+                             F.col("right_id").alias("v"))
+    else:
+        edges = edges.select("u", "v")
+    return edges.where(F.col("u") != F.col("v"))
 
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
@@ -123,8 +132,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                          checkpoint: str = "auto",
                          pre_contract: bool = True) -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
-    min member id.  Nodes absent from ``edges`` are not returned
-    (callers union isolated nodes as their own cluster).
+    min member id.  Nodes absent from ``edges`` are not returned, and
+    self-loops (u == v) are dropped up front — a node whose only edges
+    are self-loops counts as absent (callers union isolated nodes as
+    their own cluster); this holds identically with and without
+    ``pre_contract``.
 
     Distributed star rounds contract the graph; once the surviving edge
     set fits under ``driver_finish_edges`` (components are invariant

@@ -259,8 +259,13 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     # the app, one dir per round) and put the session's checkpoint dir
     # back where the caller had it.  On a crash mid-CC the files simply
     # stay for the next attempt; CC recomputes from 04_scores anyway.
-    shutil.rmtree(cc_dir, ignore_errors=True)
+    # When the caller had NO checkpoint dir configured there is nothing
+    # to restore — the context keeps pointing at cc_dir, so deleting it
+    # would leave a later caller-side df.checkpoint() writing into a
+    # directory that vanishes with the workdir (ADVICE r5): leave it in
+    # place in that case.
     if prev_ck and prev_ck != cc_dir:
+        shutil.rmtree(cc_dir, ignore_errors=True)
         spark.sparkContext.setCheckpointDir(prev_ck)
 
     return dict(files=files_ck, blocks=blocks, pairs=pairs, scores=scores,
