@@ -23,20 +23,7 @@ from fuzzspark.pipeline.pairs import candidate_pairs
 __all__ = ["LinkageConfig", "run_pipeline"]
 
 
-def _parse_bytes(v: str) -> int:
-    """Spark size-conf string -> bytes ('16m', '128MB', '134217728')."""
-    s = str(v).strip().lower()
-    mult = 1
-    for suf, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
-                   ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
-                   ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
-        if s.endswith(suf):
-            s, mult = s[: -len(suf)], m
-            break
-    try:
-        return int(float(s) * mult)
-    except ValueError:
-        return 0
+from fuzzspark.pipeline.util import parse_bytes as _parse_bytes
 
 
 def _dir_bytes(path: str) -> int | None:
@@ -68,12 +55,13 @@ class LinkageConfig:
     use_minhash: bool = True
     cc_max_iter: int = 20
     # finish CC driver-side once the contracted edge set is this small
-    # (0 = fully-distributed fixpoint).  4M edges is ~64 MB as int64
-    # pairs driver-side — cheap on any real driver; the 400x smoke's
-    # converged 2M-edge graph paid 4 distributed rounds against the
-    # old 1M threshold (manifest round_edges shows the sizing at each
-    # tier)
-    cc_driver_finish: int = 4_000_000
+    # (0 = fully-distributed fixpoint; None = auto-size from
+    # spark.driver.memory — 1/16 of the heap as raw 16 B edges with a
+    # 4M floor, see cluster._auto_driver_finish.  Round 6: the manifest
+    # round_edges series showed a fixed default re-tuned at every scale
+    # tier, so the default now derives from the resource that actually
+    # bounds it)
+    cc_driver_finish: int | None = None
     # stage-storage DataSource format (parquet/orc/...; "iceberg" with
     # the runtime jar + catalog configured)
     table_format: str = "parquet"

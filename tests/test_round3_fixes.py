@@ -117,9 +117,12 @@ def test_cc_stats_surfaced(spark, tmp_path):
                        LinkageConfig(threshold=0.85))
     m = json.load(open(out["runner"].manifest_path("05_clusters")))
     assert m["extra"]["round_edges"], m
-    # round 5 raised the default driver-finish threshold to 4M edges
-    # (~64 MB driver-side with the C union-find)
-    assert m["extra"]["driver_finish_threshold"] == 4_000_000
+    # round 6: the default derives from spark.driver.memory (4M floor)
+    # instead of a fixed constant — assert against the same derivation
+    from fuzzspark.pipeline.cluster import _auto_driver_finish
+    assert m["extra"]["driver_finish_threshold"] == _auto_driver_finish(spark)
+    assert m["extra"]["driver_finish_threshold"] >= 4_000_000
+    assert m["extra"].get("driver_finish_auto") is True
 
 
 def test_native_uint8_path_parity():

@@ -102,6 +102,74 @@ def test_cc_all_self_loops_empty(spark, pre):
     assert connected_components(edges, pre_contract=pre).count() == 0
 
 
+# ------------------------- CC co-partitioned pre-contraction (r6)
+
+
+def test_cc_copartition_contracts_cross_partition_redundancy(spark):
+    """Dense clusters scattered across partitions (the real match-graph
+    shape — every near-dup cluster is near-all-pairs): phase-1 local
+    contraction still leaves ~one edge per (node, partition); the
+    round-6 co-partitioned second pass sees whole neighborhoods and
+    must contract materially further."""
+    import numpy as np
+
+    from fuzzspark.pipeline.cluster import (_pre_contract, _symmetrize,
+                                            connected_components)
+
+    rng = np.random.default_rng(5)
+    edges = []
+    for c in range(50):  # 50 all-pairs clusters of 20 nodes
+        ids = rng.permutation(10_000)[:20] + c * 100_000
+        edges += [(int(a), int(b)) for i, a in enumerate(ids)
+                  for b in ids[i + 1:]]
+    df = (spark.createDataFrame(edges, "left_id: long, right_id: long")
+          .repartition(8))
+
+    phase1 = _pre_contract(df)
+    both = _pre_contract(_symmetrize(phase1).repartition("u"))
+    c1 = _symmetrize(phase1).distinct().count()
+    c2 = _symmetrize(both).distinct().count()
+    # 50 clusters x 20 nodes: the minimal star forest is 19*50 = 950
+    # edges (1900 symmetrized); phase 1 alone leaves ~one edge per
+    # (node, partition) — measured 3264 here.  Phase 2 must land at
+    # the floor (one star per cluster) — materially under phase 1.
+    assert c2 == 2 * 19 * 50, (c1, c2)
+    assert c2 <= 0.7 * c1, (c1, c2)
+
+    # labels identical across: no pre-contract / full pre-contract,
+    # driver finish / distributed fixpoint
+    want = _labels(connected_components(df, pre_contract=False))
+    assert len({cid for _i, cid in want}) == 50
+    got = _labels(connected_components(df, pre_contract=True))
+    assert got == want
+    got_dist = _labels(connected_components(df, pre_contract=True,
+                                            driver_finish_edges=0))
+    assert got_dist == want
+
+
+def test_cc_driver_finish_auto_sizing(spark):
+    from fuzzspark.pipeline.cluster import (_DRIVER_FINISH_FLOOR,
+                                            _auto_driver_finish,
+                                            connected_components)
+    from fuzzspark.pipeline.util import parse_bytes
+
+    mem = parse_bytes(spark.conf.get("spark.driver.memory", "1g"))
+    want = max(_DRIVER_FINISH_FLOOR, mem // 256)
+    assert _auto_driver_finish(spark) == want
+
+    edges = spark.createDataFrame([(1, 2)], "left_id: long, right_id: long")
+    stats: dict = {}
+    connected_components(edges, stats=stats).count()
+    assert stats["driver_finish_threshold"] == want
+    assert stats["driver_finish_auto"] is True
+
+    # explicit values still respected, 0 = fully distributed
+    stats2: dict = {}
+    connected_components(edges, driver_finish_edges=123, stats=stats2).count()
+    assert stats2["driver_finish_threshold"] == 123
+    assert "driver_finish_auto" not in stats2
+
+
 # ------------------------------------- CC checkpoint dir, no prev
 
 
