@@ -16,6 +16,39 @@ from fuzzspark.functions import length_prefilter
 __all__ = ["candidate_pairs"]
 
 
+def _metadata_rowcount(df: DataFrame) -> int | None:
+    """Rowcount from parquet footer metadata — ZERO Spark jobs (round
+    6; the checkpoint.py manifest mechanism applied to the broadcast
+    decision).  Only valid when the DataFrame is a pure projection of a
+    parquet scan: any Filter/Join/Aggregate/... in the optimized plan
+    changes the rowcount, so those return None (caller falls back to a
+    count job)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:  # pragma: no cover — py4j API drift
+        return None
+    for node in ("Filter", "Join", "Aggregate", "Union", "Generate",
+                 "Window", "GlobalLimit", "LocalLimit", "Sample",
+                 "Deduplicate", "Intersect", "Except", "Expand"):
+        if node in plan:
+            return None
+    try:
+        files = [f[len("file:"):] if f.startswith("file:") else f
+                 for f in df.inputFiles()]
+    except Exception:  # pragma: no cover
+        return None
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return None
+    try:
+        import duckdb
+        row = duckdb.execute(
+            "SELECT sum(num_rows) FROM parquet_file_metadata(?)",
+            [files]).fetchone()
+        return int(row[0]) if row and row[0] is not None else None
+    except Exception:  # pragma: no cover — duckdb absent / odd footer
+        return None
+
+
 def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
                     scorer: str = "ratio", cutoff: float = 0.9,
                     broadcast_threshold: int | None = None) -> DataFrame:
@@ -62,14 +95,18 @@ def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
     rf = sides.select(F.col("id").alias("right_id"),
                       F.col("content_len").alias("len2"),
                       F.col("_sha").alias("_sha2"))
-    if broadcast_threshold is not None and broadcast_threshold > 0 \
-            and sides.count() <= broadcast_threshold:
+    if broadcast_threshold is not None and broadcast_threshold > 0:
         # the sides projection is ~80 B/row (id + len + sha); when it
         # fits, broadcasting turns both attach joins into
         # BroadcastHashJoins — the (amplified) pair-id set never
-        # shuffles.  The deciding count is one cheap job (parquet
-        # inputs answer from footer statistics).
-        lf, rf = F.broadcast(lf), F.broadcast(rf)
+        # shuffles.  Round 6: the deciding rowcount comes FREE from the
+        # parquet footers when ``files`` is a persisted stage scan
+        # (zero Spark jobs); only a non-scan input pays a count job.
+        n_sides = _metadata_rowcount(files)
+        if n_sides is None:
+            n_sides = sides.count()
+        if n_sides <= broadcast_threshold:
+            lf, rf = F.broadcast(lf), F.broadcast(rf)
     pairs = (pair_ids.join(lf, "left_id").join(rf, "right_id")
              .withColumn("exact_equal", F.col("_sha1") == F.col("_sha2")))
     # Catalyst-native prune: pairs that cannot reach the cutoff by length
