@@ -579,40 +579,70 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         # the LCS kernel) runs once per DISTINCT (s1, s2) pair and
         # scatters back — candidate batches (one-vs-many extracts,
         # block joins) repeat pairs heavily; token sets additionally
-        # cache per distinct string.
-        pair_gid: dict[tuple[str, str], int] = {}
-        d_pairs: list[tuple[str, str]] = []
-        dmap = np.empty(len(idx), dtype=np.int64)
-        for pos, k in enumerate(idx):
-            key = (s1[k], s2[k])
-            g = pair_gid.get(key)
-            if g is None:
-                g = pair_gid[key] = len(d_pairs)
-                d_pairs.append(key)
-            dmap[pos] = g
-        tok_cache: dict[str, frozenset] = {}
+        # cache per distinct string.  Round 6: the dedup machinery is
+        # probe-gated (an all-distinct prefix sample skips it — it was
+        # ~30% of the all-distinct cost) and the containment-ratio
+        # arithmetic is numpy over length columns instead of per-pair
+        # python floats.
+        pairs_all = [(s1[k], s2[k]) for k in idx]
+        nd_pairs = len(pairs_all)
+        probe = min(nd_pairs, 512)
+        dmap = None
+        d_pairs = pairs_all
+        if len(set(pairs_all[:probe])) < probe:
+            pair_gid: dict[tuple[str, str], int] = {}
+            d_pairs = []
+            dmap = np.empty(nd_pairs, dtype=np.int64)
+            for pos, key in enumerate(pairs_all):
+                g = pair_gid.get(key)
+                if g is None:
+                    g = pair_gid[key] = len(d_pairs)
+                    d_pairs.append(key)
+                dmap[pos] = g
+        # token-set cache only helps when strings repeat (dedup mode);
+        # on an all-distinct batch the get/insert is pure overhead
+        tok_cache: dict[str, set] | None = {} if dmap is not None else None
 
-        def _tokset(s: str) -> frozenset:
-            v = tok_cache.get(s)
-            if v is None:
-                v = tok_cache[s] = frozenset(s.split())
-            return v
-
+        m = len(d_pairs)
         cpairs: list[tuple[str, str]] = []
-        base = np.zeros(len(d_pairs))
+        ls_a = np.empty(m, dtype=np.int64)
+        l1_a = np.empty(m, dtype=np.int64)
+        l2_a = np.empty(m, dtype=np.int64)
+        app = cpairs.append
         for pos, (x, y) in enumerate(d_pairs):
-            t1, t2 = _tokset(x), _tokset(y)
+            if tok_cache is None:
+                t1 = set(x.split())
+                t2 = set(y.split())
+            else:
+                t1 = tok_cache.get(x)
+                if t1 is None:
+                    t1 = tok_cache[x] = set(x.split())
+                t2 = tok_cache.get(y)
+                if t2 is None:
+                    t2 = tok_cache[y] = set(y.split())
             sect = " ".join(sorted(t1 & t2))
-            c1 = (sect + " " + " ".join(sorted(t1 - t2))).strip()
-            c2 = (sect + " " + " ".join(sorted(t2 - t1))).strip()
-            cpairs.append((c1, c2))
+            d1 = " ".join(sorted(t1 - t2))
+            d2 = " ".join(sorted(t2 - t1))
+            c1 = sect + " " + d1 if (sect and d1) else (sect or d1)
+            c2 = sect + " " + d2 if (sect and d2) else (sect or d2)
+            app((c1, c2))
+            ls_a[pos] = len(sect)
+            l1_a[pos] = len(c1)
+            l2_a[pos] = len(c2)
+        if m:
             # identical float shape to _ratio_sims: 1 - dist/total
-            ls, l1c, l2c = len(sect), len(c1), len(c2)
-            r1 = 1.0 if ls + l1c == 0 else 1.0 - (ls + l1c - 2 * ls) / (ls + l1c)
-            r2 = 1.0 if ls + l2c == 0 else 1.0 - (ls + l2c - 2 * ls) / (ls + l2c)
-            base[pos] = r1 if r1 >= r2 else r2
-        if len(idx):
-            raw[idx] = np.maximum(base, _ratio_sims(cpairs))[dmap]
+            # (integer numerator/denominator, one float divide)
+            tot1 = ls_a + l1_a
+            tot2 = ls_a + l2_a
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r1 = np.where(tot1 == 0, 1.0,
+                              1.0 - (tot1 - 2 * ls_a)
+                              / np.where(tot1 == 0, 1, tot1))
+                r2 = np.where(tot2 == 0, 1.0,
+                              1.0 - (tot2 - 2 * ls_a)
+                              / np.where(tot2 == 0, 1, tot2))
+            res = np.maximum(np.maximum(r1, r2), _ratio_sims(cpairs))
+            raw[idx] = res if dmap is None else res[dmap]
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
     return raw, valid

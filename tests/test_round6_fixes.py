@@ -170,6 +170,43 @@ def test_cc_driver_finish_auto_sizing(spark):
     assert "driver_finish_auto" not in stats2
 
 
+# --------------------------- token_set all-distinct fast path (r6)
+
+
+def test_token_set_distinct_and_dedup_paths_parity():
+    """The probe-gated all-distinct path and the dedup path (round 6)
+    both equal the scalar kernel bit-for-bit."""
+    import numpy as np
+
+    from fuzzspark.kernels import fuzz as _fuzz
+    from fuzzspark.kernels.batch import batch_scores
+
+    rng = np.random.default_rng(17)
+    words = ["".join(rng.choice(list("abcdefgh"), rng.integers(3, 8)))
+             for _ in range(80)]
+
+    def mk():
+        return " ".join(rng.choice(words, rng.integers(2, 9)))
+
+    n = 1500
+    s1 = [mk() for _ in range(n)]
+    s2 = [mk() for _ in range(n)]
+    got = batch_scores("token_set_ratio", "normalized_similarity", s1, s2)
+    # heavy repeats: forces the dedup branch (probe sees duplicates)
+    r1 = [s1[i % 13] for i in range(n)]
+    r2 = [s2[i % 29] for i in range(n)]
+    rep = batch_scores("token_set_ratio", "normalized_similarity", r1, r2)
+    for i in range(n):
+        assert got[i] == _fuzz.token_set_ratio(s1[i], s2[i]), i
+        assert rep[i] == _fuzz.token_set_ratio(r1[i], r2[i]), i
+    # boundary shapes through both paths
+    for a, b in [("", ""), ("", "a b"), ("a b", ""), ("x", "x"),
+                 ("a b c", "c b a"), ("a  b", "b a"),
+                 ("alpha", "alpha beta gamma delta epsilon zeta")]:
+        assert batch_scores("token_set_ratio", "normalized_similarity",
+                            [a], [b])[0] == _fuzz.token_set_ratio(a, b)
+
+
 # ------------------------------- free broadcast decision (r6 #5)
 
 
