@@ -626,6 +626,123 @@ int batch_lev_hinted_es(const void *pat, const int64_t *pat_off,
     return 0;
 }
 
+/* --------- indel, hint-seeded band (round 6, VERDICT r5 item 8) ---- */
+/* Banded DP for the INDEL distance (insert/delete only — the metric
+ * under fuzz::ratio and the indel module; dist = m + n - 2*LCS).  Each
+ * unit-cost op changes j - i by exactly 1, so any path with cost <= k
+ * stays inside |j - i| <= k: the band is exact whenever the true
+ * distance is <= k (the reference's indel band algebra,
+ * src/distance/indel.rs:84-104, as an explicit diagonal band).  A
+ * match is free along the diagonal; there is NO substitution move. */
+
+static int64_t indel_band_pass(const char *a, int64_t m, const char *b,
+                               int64_t n, int es, int64_t k,
+                               int32_t *prev, int32_t *cur) {
+    const int32_t INF = 1 << 29;
+    for (int64_t d = -k; d <= k; d++)
+        prev[d + k] = (d >= 0 && d <= n) ? (int32_t)d : INF;
+    for (int64_t i = 1; i <= m; i++) {
+        uint32_t ca = elem_at(a, i - 1, es);
+        int32_t rowmin = INF;
+        for (int64_t d = -k; d <= k; d++) {
+            int64_t j = i + d;
+            if (j < 0 || j > n) { cur[d + k] = INF; continue; }
+            if (j == 0) { cur[d + k] = (int32_t)i; continue; }
+            /* diag (match only) D[i-1][j-1] -> prev[d]; up D[i-1][j]
+             * -> prev[d+1]; left D[i][j-1] -> cur[d-1] */
+            int32_t v = INF;
+            if (ca == elem_at(b, j - 1, es)) v = prev[d + k];
+            if (d + 1 <= k && prev[d + k + 1] + 1 < v)
+                v = prev[d + k + 1] + 1;
+            if (d - 1 >= -k && cur[d + k - 1] + 1 < v)
+                v = cur[d + k - 1] + 1;
+            cur[d + k] = v;
+            if (v < rowmin) rowmin = v;
+        }
+        /* Ukkonen early termination: the row minimum is non-decreasing
+         * (every cell derives from a previous-row cell via +0/+1
+         * moves), so once it exceeds k the final value must too —
+         * failing pairs cost O(k^2) instead of O(m*k) */
+        if (rowmin > (int32_t)k) return -1;
+        int32_t *tmp = prev; prev = cur; cur = tmp;
+    }
+    int32_t res = prev[(n - m) + k];  /* after final swap prev = row m */
+    return (res <= k) ? (int64_t)res : -1;
+}
+
+int batch_indel_banded_es(const void *pat, const int64_t *pat_off,
+                          const void *txt, const int64_t *txt_off,
+                          int64_t n_pairs, int64_t *out,
+                          const int64_t *hints, const int64_t *bounds,
+                          int64_t elem_size) {
+    /* same driver contract as batch_lev_hinted_es: exact indel
+     * distances, -1 = proven above bounds, -2 = band unprofitable
+     * (caller uses the full bit-parallel LCS kernel).  Affix stripping
+     * is distance-invariant (a shared affix is matched free on the
+     * diagonal). */
+    const int es = (int)elem_size;
+    int64_t cap = 0;
+    int32_t *prev = NULL, *cur = NULL;
+    for (int64_t i = 0; i < n_pairs; i++) {
+        const char *p = (const char *)pat + pat_off[i] * es;
+        int64_t m = pat_off[i + 1] - pat_off[i];
+        const char *t = (const char *)txt + txt_off[i] * es;
+        int64_t n = txt_off[i + 1] - txt_off[i];
+        int64_t lim = m < n ? m : n;
+        int64_t pre = 0;
+        while (pre < lim && elem_at(p, pre, es) == elem_at(t, pre, es)) pre++;
+        int64_t suf = 0;
+        while (suf < lim - pre
+               && elem_at(p, m - 1 - suf, es) == elem_at(t, n - 1 - suf, es))
+            suf++;
+        const char *ps = p + pre * es;
+        const char *ts = t + pre * es;
+        int64_t ms = m - pre - suf;
+        int64_t ns = n - pre - suf;
+        if (ms == 0 || ns == 0) { out[i] = ms == 0 ? ns : ms; continue; }
+        if (ms > ns) {  /* symmetric: shorter side as rows */
+            const char *tp = ps; ps = ts; ts = tp;
+            int64_t tl = ms; ms = ns; ns = tl;
+        }
+        int64_t bound = bounds ? bounds[i] : -1;
+        int64_t k = hints ? hints[i] : -1;
+        int64_t mind = ns - ms;
+        if (k < mind) k = mind;
+        if (k < 1) k = 1;
+        /* cutoff bound below the length difference: suppressed for
+         * free (dist >= |n - m| always) */
+        if (bound >= 0 && bound < mind) { out[i] = -1; continue; }
+        /* profitability: with a bound the escalation ENDS at k = bound
+         * (a failed pass there proves suppression), so that final band
+         * must beat the bit-parallel kernel; without one, cap the
+         * escalation.  Break-even is ~(2k+1) cells vs ms/64 words per
+         * row at ~2x cost per word — ms/8 keeps a safety margin. */
+        if (bound >= 0 ? (2 * bound + 1 > ms / 8)
+                       : (2 * k + 1 > ms / 8)) { out[i] = -2; continue; }
+        if (bound >= 0 && k > bound) k = bound;
+        for (;;) {
+            if (2 * k + 3 > cap) {
+                free(prev); free(cur);
+                cap = 2 * k + 3;
+                prev = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                cur = (int32_t *)malloc((size_t)cap * sizeof(int32_t));
+                if (!prev || !cur) { free(prev); free(cur); return -1; }
+            }
+            int64_t r = indel_band_pass(ps, ms, ts, ns, es, k, prev, cur);
+            if (r >= 0) { out[i] = r; break; }
+            if (bound >= 0 && k >= bound) { out[i] = -1; break; }
+            k <<= 1;
+            if (bound >= 0) {
+                if (k > bound) k = bound;  /* final, deciding pass */
+            } else if (2 * k + 1 > ms / 8) {
+                out[i] = -2; break;
+            }
+        }
+    }
+    free(prev); free(cur);
+    return 0;
+}
+
 /* partial_ratio support: out[i] = max over all length-m windows of txt
  * of LCS(pat, window).  Pattern masks are built ONCE per pattern and
  * shared by every window; early-exits on a perfect window.  Caller

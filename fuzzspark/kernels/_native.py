@@ -146,6 +146,9 @@ def get_lib():
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.batch_indel_banded_es.restype = ctypes.c_int
+        lib.batch_indel_banded_es.argtypes = \
+            lib.batch_lev_hinted_es.argtypes
         lib.batch_jaro.restype = ctypes.c_int
         lib.batch_jaro.argtypes = [
             np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS"),
@@ -291,8 +294,8 @@ def native_banded(kind: str, pat_strs: list[str], txt_strs: list[str],
                   hint, bounds: np.ndarray | None = None
                   ) -> np.ndarray | None:
     """Hint/cutoff-seeded banded kernels (exact results), kind in
-    {'levenshtein', 'osa'}: per pair the diagonal band starts at
-    ``hint`` (a scalar raw distance or a per-pair int64 array) and
+    {'levenshtein', 'osa', 'indel'}: per pair the diagonal band starts
+    at ``hint`` (a scalar raw distance or a per-pair int64 array) and
     doubles until the distance is found.  -2 entries mark pairs where
     banding cannot beat the full bit-parallel kernel (caller recomputes
     those via native_batch); -1 entries mark pairs proven above
@@ -315,8 +318,9 @@ def native_banded(kind: str, pat_strs: list[str], txt_strs: list[str],
              else np.full(len(pat_strs), int(hint), dtype=np.int64))
     b = (None if bounds is None
          else np.ascontiguousarray(bounds, dtype=np.int64))
-    fn = (lib.batch_lev_hinted_es if kind == "levenshtein"
-          else lib.batch_osa_banded_es)
+    fn = {"levenshtein": lib.batch_lev_hinted_es,
+          "osa": lib.batch_osa_banded_es,
+          "indel": lib.batch_indel_banded_es}[kind]
     rc = fn(
         pat.ctypes.data_as(ctypes.c_void_p), pat_off,
         txt.ctypes.data_as(ctypes.c_void_p), txt_off,

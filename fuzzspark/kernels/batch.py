@@ -243,7 +243,8 @@ def _bitpar_family_distances(kind: str, pairs: list[tuple[str, str]],
 
 
 def _ratio_sims(pairs: list[tuple[str, str]],
-                sim_cutoff: Optional[float] = None) -> np.ndarray:
+                sim_cutoff: Optional[float] = None,
+                sim_hint: Optional[float] = None) -> np.ndarray:
     """indel normalized_similarity (= fuzz.ratio) per raw pair.
 
     ``sim_cutoff`` drives kernel-level early abandonment: a pair passes
@@ -251,6 +252,14 @@ def _ratio_sims(pairs: list[tuple[str, str]],
     abandoned pairs (-1 from the kernel) yield a NEGATIVE similarity,
     which the caller's final cutoff comparison suppresses — exactly the
     rows full computation would have suppressed.
+
+    ``sim_hint`` (round 6, VERDICT r5 item 8): expected similarity —
+    seeds the hint-banded indel kernel (diagonal band at the implied
+    distance, doubling retry; reference band algebra
+    src/distance/indel.rs:84-104).  Results are bit-identical with or
+    without it: banded values are exact, unprofitable pairs (-2) rerun
+    on the full bit-parallel kernel, and abandonment (-1) fires only
+    against the cutoff-derived bound the full kernel also honors.
 
     Hot path: ONE python pass builds pattern/text sides and both length
     columns together (instead of separate passes for pat, txt, lens per
@@ -278,10 +287,31 @@ def _ratio_sims(pairs: list[tuple[str, str]],
         if sim_cutoff is not None and sim_cutoff > 0:
             min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
             bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
-        lcs_full = _native_reordered(
-            lambda p, t, bd, pln=None, tln=None: _native.native_batch(
-                0, p, t, bounds=bd, pat_lens=pln, txt_lens=tln),
-            pat, txt, aux=bounds, lens=(plens, tlens))
+        if sim_hint is not None:
+            d_hint = np.maximum(
+                np.ceil((1.0 - float(sim_hint)) * total - 1e-7), 0.0
+            ).astype(np.int64)
+            d_bound = (None if bounds is None
+                       else np.where(bounds > 0, total - 2 * bounds,
+                                     np.int64(-1)))
+            banded = _native.native_banded("indel", pat, txt, d_hint,
+                                           d_bound)
+            if banded is not None:
+                # dist -> LCS (total - dist is even by parity); -1
+                # (proven above the cutoff bound) keeps the same -1
+                # sentinel the full kernel's abandonment uses
+                lcs_full = np.where(banded >= 0, (total - banded) // 2,
+                                    np.int64(-1))
+                redo = np.flatnonzero(banded == -2)
+                if len(redo):
+                    lcs_full[redo] = _bitpar_family_distances(
+                        "lcs_seq", [pairs[j] for j in redo],
+                        bounds=None if bounds is None else bounds[redo])
+        if lcs_full is None:
+            lcs_full = _native_reordered(
+                lambda p, t, bd, pln=None, tln=None: _native.native_batch(
+                    0, p, t, bounds=bd, pat_lens=pln, txt_lens=tln),
+                pat, txt, aux=bounds, lens=(plens, tlens))
     if lcs_full is None:  # no compiler: exact fallback path
         total = np.fromiter((len(a) + len(b) for a, b in pairs),
                             dtype=np.int64, count=n)
@@ -420,12 +450,22 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                 raw[k] = levenshtein_distance_raw(s1[k], s2[k],
                                                   tuple(weights))
     elif scorer in ("indel", "lcs_seq", "ratio", "token_sort_ratio"):
+        # hint -> expected normalized similarity for the sim-canonical
+        # scorers (any monotone conversion is safe: the band only seeds)
+        sim_hint = None
+        if score_hint is not None and scorer in ("ratio",
+                                                 "token_sort_ratio"):
+            s = (float(score_hint)
+                 if form in ("similarity", "normalized_similarity")
+                 else 1.0 - float(score_hint))
+            sim_hint = min(max(s, 0.0), 1.0)
         if scorer == "ratio" and len(idx) == n:
             # all-valid hot path: zip is a C-speed pairing
             raw[:] = _ratio_sims(
                 list(zip(s1, s2)),
                 sim_cutoff=(score_cutoff
-                            if form == "normalized_similarity" else None))
+                            if form == "normalized_similarity" else None),
+                sim_hint=sim_hint)
             return raw, valid
         if scorer == "token_sort_ratio":
             # tokenize/sort once per DISTINCT string: candidate batches
@@ -444,15 +484,48 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         if scorer in ("ratio", "token_sort_ratio"):
             sim_cut = (score_cutoff
                        if form == "normalized_similarity" else None)
-            raw[idx] = _ratio_sims(pairs, sim_cutoff=sim_cut)
+            raw[idx] = _ratio_sims(pairs, sim_cutoff=sim_cut,
+                                   sim_hint=sim_hint)
         else:
             lens = np.array([[len(a), len(b)] for a, b in pairs],
                             dtype=np.int64).reshape(-1, 2)
-            lcs_full = _bitpar_family_distances("lcs_seq", pairs)
-            if scorer == "indel":
-                raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
-            else:  # lcs_seq: canonical raw = distance = max(len) - lcs
-                raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
+            done = False
+            if scorer == "indel" and score_hint is not None \
+                    and len(pairs) and _native.get_lib() is not None:
+                # hint-banded indel (round 6): convert the form-level
+                # hint to per-pair raw distances, seed the band
+                total = lens[:, 0] + lens[:, 1]
+                h = float(score_hint)
+                if form == "distance":
+                    d_hint = np.full(len(pairs), max(0, int(h)),
+                                     dtype=np.int64)
+                elif form == "similarity":
+                    d_hint = np.maximum(total - np.int64(max(0, int(h))),
+                                        0)
+                elif form == "normalized_distance":
+                    d_hint = np.ceil(total * h - 1e-7).astype(np.int64)
+                else:  # normalized_similarity
+                    d_hint = np.ceil(total * (1.0 - h) - 1e-7) \
+                        .astype(np.int64)
+                pat = [a if len(a) <= len(b) else b for a, b in pairs]
+                txt = [b if len(a) <= len(b) else a for a, b in pairs]
+                banded = _native.native_banded(
+                    "indel", pat, txt, np.maximum(d_hint, 0))
+                if banded is not None:
+                    redo = np.flatnonzero(banded == -2)
+                    if len(redo):
+                        lcs_sub = _bitpar_family_distances(
+                            "lcs_seq", [pairs[j] for j in redo])
+                        banded[redo] = total[redo] - 2 * lcs_sub
+                    raw[idx] = banded
+                    done = True
+            if not done:
+                lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+                if scorer == "indel":
+                    raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
+                else:  # lcs_seq: canonical raw = max(len) - lcs
+                    raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) \
+                        - lcs_full
     elif scorer == "osa":
         got, bounds = _banded_or_none("osa")
         if got is None:
@@ -730,12 +803,15 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     src/distance/hamming.rs:32-40); with ``errors='null'`` the error
     becomes a NaN/NULL row.  ``score_hint`` is a pure performance knob
     (reference semantics, src/distance/levenshtein.rs:1069-1089): for
-    uniform levenshtein (all four forms — non-distance hints convert
-    to per-pair raw distances) it seeds the banded kernel's initial
-    band, retried with doubling — results are always identical with or
-    without it; other scorers accept and ignore it."""
+    uniform levenshtein/osa AND (round 6) the indel family — indel,
+    ratio, token_sort_ratio (band algebra src/distance/indel.rs:84-104)
+    — it seeds the banded kernel's initial band (all four forms;
+    non-distance hints convert to per-pair raw distances), retried
+    with doubling — results are always identical with or without it;
+    other scorers accept and ignore it."""
     hint = None
-    if score_hint is not None and scorer in ("levenshtein", "osa"):
+    if score_hint is not None and scorer in (
+            "levenshtein", "osa", "indel", "ratio", "token_sort_ratio"):
         try:
             hint = float(score_hint)
         except (TypeError, ValueError):

@@ -207,6 +207,89 @@ def test_token_set_distinct_and_dedup_paths_parity():
                             [a], [b])[0] == _fuzz.token_set_ratio(a, b)
 
 
+# -------------------- hint-banded indel family (r6, VERDICT #8)
+
+
+def test_indel_family_hint_is_result_invariant():
+    """score_hint on indel / ratio / token_sort_ratio seeds the banded
+    kernel (round 6) — results must be bit-identical for ANY hint, any
+    form, with and without a cutoff (reference hint contract,
+    src/common.rs:3-6 + indel band algebra src/distance/indel.rs:84-104)."""
+    import numpy as np
+
+    from fuzzspark.kernels.batch import batch_scores
+
+    rng = np.random.default_rng(29)
+
+    def near(n, edits):
+        s = "".join(rng.choice(list("abcdefghij "), n))
+        t = list(s)
+        for _ in range(edits):
+            p = int(rng.integers(0, len(t)))
+            if rng.integers(0, 2) and len(t) > 1:
+                del t[p]
+            else:
+                t.insert(p, "Q")
+        return s, "".join(t)
+
+    pairs = [near(int(rng.integers(30, 900)), int(rng.integers(0, 15)))
+             if rng.random() < 0.5 else
+             ("".join(rng.choice(list("abcde "), int(rng.integers(30, 900)))),
+              "".join(rng.choice(list("abcde "), int(rng.integers(30, 900)))))
+             for _ in range(150)]
+    s1 = [a for a, _ in pairs]
+    s2 = [b for _, b in pairs]
+    for scorer in ("indel", "ratio", "token_sort_ratio"):
+        for form in ("normalized_similarity", "distance",
+                     "similarity", "normalized_distance"):
+            base = batch_scores(scorer, form, s1, s2)
+            hints = ((0.999, 0.6, 0.0) if form.startswith("norm")
+                     else (0, 7, 10**6))
+            for h in hints:
+                got = batch_scores(scorer, form, s1, s2, score_hint=h)
+                assert np.array_equal(base, got, equal_nan=True), \
+                    (scorer, form, h)
+        basec = batch_scores(scorer, "normalized_similarity", s1, s2,
+                             score_cutoff=0.9)
+        for h in (0.99, 0.5):
+            gotc = batch_scores(scorer, "normalized_similarity", s1, s2,
+                                score_cutoff=0.9, score_hint=h)
+            assert np.array_equal(basec, gotc, equal_nan=True), (scorer, h)
+
+
+def test_indel_banded_kernel_contract():
+    """Direct native contract: exact values, -1 only above the bound,
+    -2 only as the band-unprofitable marker."""
+    import numpy as np
+
+    from fuzzspark.kernels import _native
+
+    if _native.get_lib() is None:
+        import pytest
+        pytest.skip("no compiler for the native kernels")
+    rng = np.random.default_rng(31)
+    pairs = [("".join(rng.choice(list("abcd"), int(rng.integers(10, 600)))),
+              "".join(rng.choice(list("abcd"), int(rng.integers(10, 600)))))
+             for _ in range(120)]
+    pat = [a if len(a) <= len(b) else b for a, b in pairs]
+    txt = [b if len(a) <= len(b) else a for a, b in pairs]
+    lcs = _native.native_batch(_native.KIND_LCS, pat, txt)
+    total = np.array([len(a) + len(b) for a, b in pairs])
+    truth = total - 2 * lcs
+    for hint in (1, 16, 400):
+        for bnd in (None, 12, 150):
+            bounds = (None if bnd is None
+                      else np.full(len(pairs), bnd, dtype=np.int64))
+            got = _native.native_banded("indel", pat, txt, hint, bounds)
+            for g, t in zip(got, truth):
+                if g == -2:
+                    continue
+                if g == -1:
+                    assert bnd is not None and t > bnd
+                else:
+                    assert g == t
+
+
 # ------------------------------- free broadcast decision (r6 #5)
 
 

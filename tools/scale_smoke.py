@@ -26,16 +26,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("fuzzspark.python.parallelism", "16")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    reps = []
-    for r in range(REPLICAS):
-        reps.append(docs.select(
-            (F.col("doc_id") + r * 1_000_000).alias("doc_id"),
-            F.col("lang"), F.col("source"), F.col("n_chars"),
-            F.concat(F.col("text"), F.lit(" r"), F.lit(str(r)))
-            .alias("text")))
-    big = reps[0]
-    for rp in reps[1:]:
-        big = big.unionByName(rp)
+    # one crossJoin with a replica range instead of a REPLICAS-way
+    # union loop (round 6): identical rows, but the logical plan stays
+    # O(1) in the replica count — at 1600 replicas the union chain
+    # made plan analysis itself a bottleneck
+    reps = spark.range(REPLICAS).select(F.col("id").alias("r"))
+    big = docs.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("r") * 1_000_000).alias("doc_id"),
+        F.col("lang"), F.col("source"), F.col("n_chars"),
+        F.concat(F.col("text"), F.lit(" r"),
+                 F.col("r").cast("string")).alias("text"))
     print("docs:", big.count())
     wd = tempfile.mkdtemp(prefix="scale_smoke_")
     t0 = time.time()
