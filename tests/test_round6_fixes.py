@@ -342,6 +342,48 @@ def test_broadcast_decision_free_on_persisted_stage(spark, tmp_path,
     assert pairs.count() > 0
 
 
+# ---------------------- streaming state is watermark-bounded (r6)
+
+
+def test_streaming_dedup_state_bounded_by_watermark(spark, tmp_path):
+    """6 waves of 50 distinct keys, waves 20 min apart, 10-min
+    watermark: the dedup state store must hold ~a wave of keys (the
+    watermark window), never all 300 — state rows <= distinct keys in
+    the watermark window (VERDICT r5 item 7)."""
+    import os
+
+    from fuzzspark.streaming import streaming_exact_dedup
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    waves, keys_per_wave = 6, 50
+    for w in range(waves):
+        rows = [(w * 1000 + i, f"text w{w} k{i}",
+                 f"2026-01-01 {w * 20 // 60:02d}:{(w * 20) % 60:02d}:00")
+                for i in range(keys_per_wave)]
+        (spark.createDataFrame(rows, "id: long, content: string, ts_s: string")
+         .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+         .coalesce(1).write.mode("append").parquet(src))
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (streaming_exact_dedup(stream, watermark="10 minutes")
+         .writeStream.format("memory").queryName("bounded_state_out")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    max_state = 0
+    for p in q.recentProgress:
+        for so in p["stateOperators"]:
+            max_state = max(max_state, so["numRowsTotal"])
+    total = waves * keys_per_wave
+    assert spark.sql("SELECT count(*) c FROM bounded_state_out") \
+                .collect()[0]["c"] == total  # all keys distinct -> kept
+    assert 0 < max_state < total
+    # eviction lags one batch: at most the current + previous wave live
+    assert max_state <= 2 * keys_per_wave, max_state
+
+
 # ------------------------------------- CC checkpoint dir, no prev
 
 
