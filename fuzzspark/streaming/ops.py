@@ -32,7 +32,7 @@ def streaming_exact_dedup(stream: DataFrame, *, content_col: str = "content",
 
 
 def _match_batch(reference: DataFrame, scorer: str, threshold: float,
-                 blocking_kwargs: dict):
+                 blocking_kwargs: dict, max_block: int | None = 200):
     """Build the per-micro-batch matcher: batch_df (id, content, ...) ->
     match edges (stream_id, ref_id, score)."""
     # the reference is static across micro-batches: persist its block
@@ -40,11 +40,31 @@ def _match_batch(reference: DataFrame, scorer: str, threshold: float,
     # recomputing them every batch — at 100 TB the reference blocking is
     # the dominant per-batch cost without this
     ref_blocks = block_keys(reference, **blocking_kwargs) \
-        .withColumnRenamed("id", "ref_id").persist()
-    ref_content = reference.select(F.col("id").alias("ref_id"),
-                                   F.col("content").alias("ref_content"),
-                                   F.length("content").alias("ref_len")) \
-        .persist()
+        .withColumnRenamed("id", "ref_id")
+    if max_block:
+        # skew defusal, streaming shape (round 6): a reference block
+        # key shared by > max_block docs makes EVERY stream doc carrying
+        # it a candidate against the whole block (the 50x smoke's
+        # degenerate path key matched each arrival to 64k refs — 20M
+        # candidate rows per 312-doc batch).  Hot keys carry no
+        # discriminative signal; drop them ONCE at build time — true
+        # near-dups still meet through their selective minhash band
+        # keys (the batch pipeline's defuse_skew rationale, recall
+        # floor measured in tools/skew_recall.py).  None disables.
+        hot = (ref_blocks.groupBy("block_key").count()
+               .where(F.col("count") > max_block).select("block_key"))
+        ref_blocks = ref_blocks.join(F.broadcast(hot), "block_key",
+                                     "left_anti")
+    ref_blocks = ref_blocks.persist()
+    # pre-partition the cached reference content on the join key (round
+    # 6): every micro-batch's content-attach join then reuses this
+    # partitioning and shuffles ONLY the batch-sized candidate side —
+    # the old plan re-shuffled the ENTIRE reference every micro-batch
+    # (at the 50x smoke that one exchange dominated the match leg)
+    ref_content = (reference.select(F.col("id").alias("ref_id"),
+                                    F.col("content").alias("ref_content"),
+                                    F.length("content").alias("ref_len"))
+                   .repartition("ref_id").persist())
 
     def run(batch_df: DataFrame) -> DataFrame:
         new_blocks = block_keys(batch_df, **blocking_kwargs) \
@@ -53,7 +73,12 @@ def _match_batch(reference: DataFrame, scorer: str, threshold: float,
             F.col("id").alias("stream_id"),
             F.col("content").alias("new_content"),
             F.length("content").alias("new_len"))
-        # micro-batches are small vs the corpus: broadcast the stream side
+        # micro-batches are small vs the corpus: broadcast the stream
+        # side (block keys + content are batch-sized BY CONTRACT; the
+        # candidate set is NOT — a hot block key can fan out, so it is
+        # never broadcast/collected).  The ref_content attach reuses
+        # the cached reference partitioning on ref_id: only the
+        # candidate side shuffles per batch
         cand = (ref_blocks.join(F.broadcast(new_blocks), "block_key")
                 .select("stream_id", "ref_id")
                 .dropDuplicates(["stream_id", "ref_id"]))
@@ -84,13 +109,20 @@ def streaming_fuzzy_match(stream: DataFrame, reference: DataFrame, *,
                           scorer: str = "ratio", threshold: float = 0.9,
                           sink_dir: str, checkpoint_dir: str,
                           blocking_kwargs: Optional[dict] = None,
-                          trigger_once: bool = True):
+                          trigger_once: bool = True,
+                          max_block: int | None = 200):
     """Fuzzy-match a stream of (id, repo, path, commit, lang, content)
     records against a static reference corpus; append match edges to a
-    parquet sink.  Returns the StreamingQuery."""
+    parquet sink.  Returns the StreamingQuery.
+
+    ``max_block`` drops reference block keys shared by more than that
+    many reference docs (hot keys have no discriminative signal and
+    amplify every arrival into whole-block candidates; None keeps
+    all keys)."""
     blocking_kwargs = blocking_kwargs or dict(use_exact=True, use_path=True,
                                               use_minhash=True)
-    matcher = _match_batch(reference, scorer, threshold, blocking_kwargs)
+    matcher = _match_batch(reference, scorer, threshold, blocking_kwargs,
+                           max_block=max_block)
 
     def for_each_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -114,15 +146,24 @@ def streaming_fuzzy_match(stream: DataFrame, reference: DataFrame, *,
 def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
                              workdir: str, scorer: str = "ratio",
                              threshold: float = 0.9,
-                             schema=None):
+                             schema=None,
+                             max_files_per_trigger: int | None = None):
     """End-to-end incremental linkage: watch ``source_dir`` for new
     corpus parquet files, fuzzy-match arrivals against ``reference``,
     append edges under ``workdir/edges`` (checkpoint
     ``workdir/_checkpoint``).  Batch connected-components folds the
     edge log in on the next full run — the standard
-    stream-appends/batch-consolidates split."""
-    stream = (spark.readStream.schema(schema or reference.schema)
-              .parquet(source_dir))
+    stream-appends/batch-consolidates split.
+
+    ``max_files_per_trigger`` caps the files per micro-batch — set it
+    so batches stay micro: the matcher broadcasts the STREAM side of
+    each batch (the reference's block keys are persisted once), which
+    is the right plan only while arrivals are small vs the corpus."""
+    reader = spark.readStream.schema(schema or reference.schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               int(max_files_per_trigger))
+    stream = reader.parquet(source_dir)
     return streaming_fuzzy_match(
         stream, reference, scorer=scorer, threshold=threshold,
         sink_dir=os.path.join(workdir, "edges"),

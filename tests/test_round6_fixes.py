@@ -342,6 +342,40 @@ def test_broadcast_decision_free_on_persisted_stage(spark, tmp_path,
     assert pairs.count() > 0
 
 
+# ------------------- streaming matcher hot-key defusal (r6)
+
+
+def test_streaming_matcher_hot_key_defused(spark):
+    """A reference block key shared by every doc (the degenerate
+    path-stem shape) must not amplify each arrival into whole-corpus
+    candidates: with max_block set the hot key is dropped at build
+    time, and true near-dups still match via their minhash keys."""
+    from pyspark.sql import functions as F
+
+    from fuzzspark.pipeline import corpus_to_spark, generate_corpus
+    from fuzzspark.streaming.ops import _match_batch
+
+    files, _p, _t = corpus_to_spark(
+        spark, generate_corpus(n_clusters=60, seed=13, threshold=0.9))
+    # degenerate path: every doc shares the letters-only stem
+    ref = files.withColumn(
+        "path", F.concat(F.lit("docs/"), F.col("id").cast("string"),
+                         F.lit(".txt"))).cache()
+    n_ref = ref.count()
+    assert n_ref > 50
+    batch = ref.limit(40).cache()
+    bk = dict(use_exact=True, use_path=True, use_minhash=True)
+
+    m_defused = _match_batch(ref, "ratio", 0.9, bk, max_block=50)
+    m_full = _match_batch(ref, "ratio", 0.9, bk, max_block=None)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    got, want = key(m_defused(batch)), key(m_full(batch))
+    m_defused.unpersist()
+    m_full.unpersist()
+    assert got == want  # identical edges — hot key carried no signal
+    assert len(got) >= 40  # every doc at least matches itself
+
+
 # ---------------------- streaming state is watermark-bounded (r6)
 
 
