@@ -712,13 +712,20 @@ int batch_indel_banded_es(const void *pat, const int64_t *pat_off,
         /* cutoff bound below the length difference: suppressed for
          * free (dist >= |n - m| always) */
         if (bound >= 0 && bound < mind) { out[i] = -1; continue; }
-        /* profitability: with a bound the escalation ENDS at k = bound
-         * (a failed pass there proves suppression), so that final band
-         * must beat the bit-parallel kernel; without one, cap the
-         * escalation.  Break-even is ~(2k+1) cells vs ms/64 words per
-         * row at ~2x cost per word — ms/8 keeps a safety margin. */
-        if (bound >= 0 ? (2 * bound + 1 > ms / 8)
-                       : (2 * k + 1 > ms / 8)) { out[i] = -2; continue; }
+        /* profitability: the full bit-parallel LCS kernel runs at
+         * ~0.007 ns/DP-cell effective (64 cells per ~0.5 ns word op),
+         * so a classical band only wins in the VERY tight regime —
+         * measured break-even is a band of ~25-30 cells.  Engage only
+         * when the DECIDING band (the cutoff bound if set, else the
+         * hint) is that narrow; everything else goes straight to the
+         * bit-parallel kernel (-2).  With a bound, failing pairs then
+         * abort in O(k^2) via the row-min check — the big win. */
+        {
+            int64_t deciding = bound >= 0 ? bound : k;
+            if (2 * deciding + 1 > 33 || 2 * deciding + 1 > ms / 8) {
+                out[i] = -2; continue;
+            }
+        }
         if (bound >= 0 && k > bound) k = bound;
         for (;;) {
             if (2 * k + 3 > cap) {
@@ -734,8 +741,8 @@ int batch_indel_banded_es(const void *pat, const int64_t *pat_off,
             k <<= 1;
             if (bound >= 0) {
                 if (k > bound) k = bound;  /* final, deciding pass */
-            } else if (2 * k + 1 > ms / 8) {
-                out[i] = -2; break;
+            } else if (2 * k + 1 > 33) {
+                out[i] = -2; break;  /* past the winning regime */
             }
         }
     }

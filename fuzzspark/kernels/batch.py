@@ -287,26 +287,51 @@ def _ratio_sims(pairs: list[tuple[str, str]],
         if sim_cutoff is not None and sim_cutoff > 0:
             min_lcs = np.ceil(sim_cutoff * total / 2.0 - 1e-7).astype(np.int64)
             bounds = np.where(min_lcs > 0, min_lcs, np.int64(-1))
-        if sim_hint is not None:
-            d_hint = np.maximum(
-                np.ceil((1.0 - float(sim_hint)) * total - 1e-7), 0.0
-            ).astype(np.int64)
-            d_bound = (None if bounds is None
-                       else np.where(bounds > 0, total - 2 * bounds,
-                                     np.int64(-1)))
-            banded = _native.native_banded("indel", pat, txt, d_hint,
-                                           d_bound)
-            if banded is not None:
-                # dist -> LCS (total - dist is even by parity); -1
-                # (proven above the cutoff bound) keeps the same -1
-                # sentinel the full kernel's abandonment uses
-                lcs_full = np.where(banded >= 0, (total - banded) // 2,
-                                    np.int64(-1))
-                redo = np.flatnonzero(banded == -2)
-                if len(redo):
-                    lcs_full[redo] = _bitpar_family_distances(
-                        "lcs_seq", [pairs[j] for j in redo],
-                        bounds=None if bounds is None else bounds[redo])
+        if sim_hint is not None and bounds is not None:
+            # banded engagement is BOUNDED-ONLY and python-pre-gated
+            # (round 6, measured): the bit-parallel kernel runs at
+            # ~0.007 ns/DP-cell effective, so the classical band wins
+            # only when the cutoff-derived distance bound is tiny —
+            # failing pairs then abort in O(k^2) (2.7x on tight-cutoff
+            # candidate mixes).  Everything else goes straight to the
+            # full kernel with no detour.
+            d_bound = np.where(bounds > 0, total - 2 * bounds,
+                               np.int64(-1))
+            el = np.flatnonzero((d_bound >= 0) & (2 * d_bound + 1 <= 33)
+                                & (2 * d_bound + 1 <= plens // 8))
+            if len(el):
+                d_hint = np.maximum(
+                    np.ceil((1.0 - float(sim_hint)) * total[el] - 1e-7),
+                    0.0).astype(np.int64)
+                banded = _native.native_banded(
+                    "indel", [pat[j] for j in el], [txt[j] for j in el],
+                    d_hint, d_bound[el])
+                if banded is not None:
+                    lcs_full = np.empty(n, dtype=np.int64)
+                    # dist -> LCS (total - dist is even by parity); -1
+                    # (proven above the cutoff bound) keeps the same -1
+                    # sentinel the full kernel's abandonment uses
+                    lcs_full[el] = np.where(banded >= 0,
+                                            (total[el] - banded) // 2,
+                                            np.int64(-1))
+                    redo = el[banded == -2]
+                    rest = np.concatenate([
+                        np.setdiff1d(np.arange(n, dtype=np.int64), el,
+                                     assume_unique=False), redo])
+                    if len(rest):
+                        sub = _native_reordered(
+                            lambda p, t, bd, pln=None, tln=None:
+                            _native.native_batch(0, p, t, bounds=bd,
+                                                 pat_lens=pln,
+                                                 txt_lens=tln),
+                            [pat[j] for j in rest],
+                            [txt[j] for j in rest],
+                            aux=bounds[rest],
+                            lens=(plens[rest], tlens[rest]))
+                        if sub is None:  # lib vanished: full fallback
+                            lcs_full = None
+                        else:
+                            lcs_full[rest] = sub
         if lcs_full is None:
             lcs_full = _native_reordered(
                 lambda p, t, bd, pln=None, tln=None: _native.native_batch(
@@ -489,43 +514,11 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
         else:
             lens = np.array([[len(a), len(b)] for a, b in pairs],
                             dtype=np.int64).reshape(-1, 2)
-            done = False
-            if scorer == "indel" and score_hint is not None \
-                    and len(pairs) and _native.get_lib() is not None:
-                # hint-banded indel (round 6): convert the form-level
-                # hint to per-pair raw distances, seed the band
-                total = lens[:, 0] + lens[:, 1]
-                h = float(score_hint)
-                if form == "distance":
-                    d_hint = np.full(len(pairs), max(0, int(h)),
-                                     dtype=np.int64)
-                elif form == "similarity":
-                    d_hint = np.maximum(total - np.int64(max(0, int(h))),
-                                        0)
-                elif form == "normalized_distance":
-                    d_hint = np.ceil(total * h - 1e-7).astype(np.int64)
-                else:  # normalized_similarity
-                    d_hint = np.ceil(total * (1.0 - h) - 1e-7) \
-                        .astype(np.int64)
-                pat = [a if len(a) <= len(b) else b for a, b in pairs]
-                txt = [b if len(a) <= len(b) else a for a, b in pairs]
-                banded = _native.native_banded(
-                    "indel", pat, txt, np.maximum(d_hint, 0))
-                if banded is not None:
-                    redo = np.flatnonzero(banded == -2)
-                    if len(redo):
-                        lcs_sub = _bitpar_family_distances(
-                            "lcs_seq", [pairs[j] for j in redo])
-                        banded[redo] = total[redo] - 2 * lcs_sub
-                    raw[idx] = banded
-                    done = True
-            if not done:
-                lcs_full = _bitpar_family_distances("lcs_seq", pairs)
-                if scorer == "indel":
-                    raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
-                else:  # lcs_seq: canonical raw = max(len) - lcs
-                    raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) \
-                        - lcs_full
+            lcs_full = _bitpar_family_distances("lcs_seq", pairs)
+            if scorer == "indel":
+                raw[idx] = lens[:, 0] + lens[:, 1] - 2 * lcs_full
+            else:  # lcs_seq: canonical raw = distance = max(len) - lcs
+                raw[idx] = np.maximum(lens[:, 0], lens[:, 1]) - lcs_full
     elif scorer == "osa":
         got, bounds = _banded_or_none("osa")
         if got is None:
@@ -803,15 +796,18 @@ def batch_scores(scorer: str, form: str, s1_arr, s2_arr, *,
     src/distance/hamming.rs:32-40); with ``errors='null'`` the error
     becomes a NaN/NULL row.  ``score_hint`` is a pure performance knob
     (reference semantics, src/distance/levenshtein.rs:1069-1089): for
-    uniform levenshtein/osa AND (round 6) the indel family — indel,
-    ratio, token_sort_ratio (band algebra src/distance/indel.rs:84-104)
-    — it seeds the banded kernel's initial band (all four forms;
-    non-distance hints convert to per-pair raw distances), retried
-    with doubling — results are always identical with or without it;
-    other scorers accept and ignore it."""
+    uniform levenshtein/osa it seeds the banded kernel's initial band
+    (all four forms; non-distance hints convert to per-pair raw
+    distances), retried with doubling; for ratio/token_sort_ratio
+    (round 6, band algebra src/distance/indel.rs:84-104) a
+    normalized_similarity hint + cutoff engages the bounded indel band
+    — failing pairs abort in O(k^2) — in the tight-cutoff regime where
+    it measurably beats the bit-parallel kernel.  Results are always
+    identical with or without a hint; other scorers accept and ignore
+    it."""
     hint = None
     if score_hint is not None and scorer in (
-            "levenshtein", "osa", "indel", "ratio", "token_sort_ratio"):
+            "levenshtein", "osa", "ratio", "token_sort_ratio"):
         try:
             hint = float(score_hint)
         except (TypeError, ValueError):
