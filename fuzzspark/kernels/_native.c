@@ -1069,3 +1069,65 @@ int batch_union_find(const int64_t *us, const int64_t *vs, int64_t m,
     }
     return 0;
 }
+
+/* --------------------- MinHash band keys (round 6) ------------------ */
+/* Whole-batch MinHash-LSH band-key computation: the C twin of
+ * pipeline/blocking.py::make_minhash_compute, BIT-EXACT with the numpy
+ * reference (which remains the no-compiler fallback and the
+ * DuckDB-oracle parity definition).  Per document: k-gram polynomial
+ * shingle hashes over code points (uint64 wrap, x1000003), then for
+ * each of n_hashes affine functions min over shingles of
+ * (a*x + b) % (2^61 - 1) with numpy's EXACT semantics — the multiply
+ * and add WRAP mod 2^64 first, the Mersenne modulus applies to the
+ * wrapped value (the compile-time-constant modulus strength-reduces to
+ * multiply-high, the main win over numpy's runtime-divisor division);
+ * duplicates need no dedup for a min.  Band key = the row-fold
+ * (x0x9E3779B97F4A7C15 + row, uint64 wrap) >> 1, plus band << 56.
+ * Short docs (< k code points) use the FNV-1a-style single shingle of
+ * the reference implementation.  out: n_docs x n_bands int64 keys. */
+int batch_minhash(const void *txt, const int64_t *off, int64_t n_docs,
+                  int64_t elem_size, int64_t k,
+                  const uint64_t *A, const uint64_t *B, int64_t n_hashes,
+                  int64_t n_bands, int64_t rows_per_band,
+                  int64_t *out) {
+    const uint64_t M = (1ULL << 61) - 1ULL;
+    const int es = (int)elem_size;
+    uint64_t *sig = (uint64_t *)malloc((size_t)n_hashes * sizeof(uint64_t));
+    if (!sig) return -1;
+    for (int64_t d = 0; d < n_docs; d++) {
+        const char *t = (const char *)txt + off[d] * es;
+        int64_t L = off[d + 1] - off[d];
+        for (int64_t i = 0; i < n_hashes; i++) sig[i] = ~0ULL;
+        if (L < k) {
+            uint64_t hv = 1469598103934665603ULL;
+            for (int64_t j = 0; j < L; j++)
+                hv = (hv * 1099511628211ULL) ^ (uint64_t)elem_at(t, j, es);
+            uint64_t x = hv >> 1;  /* no mask in the short branch */
+            for (int64_t i = 0; i < n_hashes; i++)
+                sig[i] = (A[i] * x + B[i]) % M;
+        } else {
+            /* rolling window of k code points: maintain the polynomial
+             * by explicit recompute per position (k is tiny, ~5) */
+            for (int64_t p = 0; p + k <= L; p++) {
+                uint64_t h = 0;
+                for (int64_t j = 0; j < k; j++)
+                    h = h * 1000003ULL + (uint64_t)elem_at(t, p + j, es);
+                uint64_t x = h & 0x7FFFFFFFFFFFFFFFULL;
+                for (int64_t i = 0; i < n_hashes; i++) {
+                    uint64_t v = (A[i] * x + B[i]) % M;
+                    if (v < sig[i]) sig[i] = v;
+                }
+            }
+        }
+        for (int64_t b = 0; b < n_bands; b++) {
+            uint64_t key = 0;
+            for (int64_t r = 0; r < rows_per_band; r++)
+                key = key * 0x9E3779B97F4A7C15ULL
+                      + sig[b * rows_per_band + r];
+            out[d * n_bands + b] =
+                (int64_t)(key >> 1) + (b << 56);
+        }
+    }
+    free(sig);
+    return 0;
+}

@@ -177,6 +177,20 @@ def get_lib():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
         ]
+        lib.batch_minhash.restype = ctypes.c_int
+        lib.batch_minhash.argtypes = [
+            ctypes.c_void_p,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
         lib.batch_union_find.restype = ctypes.c_int
         lib.batch_union_find.argtypes = [
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
@@ -366,6 +380,28 @@ def native_jaro(pat_strs: list[str], txt_strs: list[str]) -> np.ndarray | None:
     out = np.empty(len(pat_strs), dtype=np.float64)
     rc = lib.batch_jaro(pat, pat_off, txt, txt_off, len(pat_strs), out)
     return out if rc == 0 else None
+
+
+def native_minhash(strs: list[str], k: int, A: np.ndarray, B: np.ndarray,
+                   n_bands: int, rows_per_band: int) -> np.ndarray | None:
+    """MinHash-LSH band keys for a batch of (already truncated,
+    non-null) strings — bit-exact with blocking.make_minhash_compute's
+    numpy reference.  Returns (n_docs, n_bands) int64, or None when no
+    compiler is available."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(strs)
+    if not n:
+        return np.zeros((0, n_bands), dtype=np.int64)
+    txt, off, es = _flatten_raw(strs)
+    out = np.empty(n * n_bands, dtype=np.int64)
+    rc = lib.batch_minhash(
+        txt.ctypes.data_as(ctypes.c_void_p), off, n, es, int(k),
+        np.ascontiguousarray(A, dtype=np.uint64),
+        np.ascontiguousarray(B, dtype=np.uint64),
+        len(A), int(n_bands), int(rows_per_band), out)
+    return out.reshape(n, n_bands) if rc == 0 else None
 
 
 def union_find_roots(du: np.ndarray, dv: np.ndarray,

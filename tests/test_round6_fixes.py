@@ -342,6 +342,37 @@ def test_broadcast_decision_free_on_persisted_stage(spark, tmp_path,
     assert pairs.count() > 0
 
 
+# --------------------------- C minhash kernel parity (r6)
+
+
+def test_native_minhash_bit_exact_with_numpy_reference():
+    """The C batch minhash kernel must be BIT-EXACT with the numpy
+    reference in make_minhash_compute (which defines oracle parity) —
+    including unicode, short (< shingle), empty and None docs."""
+    import numpy as np
+
+    from fuzzspark.kernels import _native
+    from fuzzspark.pipeline import blocking as BL
+
+    if _native.get_lib() is None:
+        import pytest
+        pytest.skip("no compiler for the native kernels")
+    rng = np.random.default_rng(41)
+    docs = ["".join(rng.choice(list("abcdefgh XYZ.,"), rng.integers(0, 400)))
+            for _ in range(300)]
+    docs += ["", "ab", "abcd", None, "κόσμος και άλλα",
+             "日本語テキスト " * 40, "a" * 5, " ", "q" * 2500]
+    compute = BL.make_minhash_compute()
+    got = compute(docs)
+    real = _native.native_minhash
+    try:
+        _native.native_minhash = lambda *a, **k: None  # force numpy path
+        want = BL.make_minhash_compute()(docs)
+    finally:
+        _native.native_minhash = real
+    assert got == want
+
+
 # ------------------- streaming matcher hot-key defusal (r6)
 
 
