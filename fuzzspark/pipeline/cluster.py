@@ -232,43 +232,67 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     stats["driver_finish_at_edges"] = None
     stats["checkpoint_mode"] = checkpoint
     stats["pre_contract"] = bool(pre_contract)
-    e0 = edges
-    if pre_contract:
-        # phase 1 (round 5): partition-local union-find BEFORE any
-        # shuffle — narrow, collapses intra-partition redundancy
-        e0 = _pre_contract(e0)
-        # phase 2 (round 6): co-partition the contracted edges by node
-        # (hash on u after symmetrizing) so each local union-find sees
-        # every edge incident to its nodes — whole neighborhoods
-        # contract in one pass; round_edges[0] records the post-phase-2
-        # size entering the first star round
-        e0 = _pre_contract(_symmetrize(e0).repartition("u"))
-    e = _ck(_symmetrize(e0).distinct())
-    prev_fp = _fingerprint(e)
-    stats["round_edges"].append(prev_fp[0])
-    if driver_finish_edges and prev_fp[0] <= driver_finish_edges:
-        stats["driver_finish_at_edges"] = prev_fp[0]
-        return _driver_union_find(e)
-    for _ in range(max_iter):
-        # both stars operate on the symmetrized neighborhood view; the
-        # output of small-star is directed, so re-symmetrize each round.
-        # duplicates don't change the min-aggregations, so no distinct
-        # before large-star; the lazy checkpoint is materialized by the
-        # fingerprint aggregation (one job per round).
-        e2 = _ck(_small_star(
-            _symmetrize(_large_star(_symmetrize(e)))
-        ), eager=False)
-        fp = _fingerprint(e2)
-        e = e2
-        stats["round_edges"].append(fp[0])
-        if driver_finish_edges and fp[0] <= driver_finish_edges:
-            stats["driver_finish_at_edges"] = fp[0]
+    # Arrow batch size, scoped to the CC computation (round 6): the
+    # session default (2048 rows) is sized for TEXT batches through the
+    # scorer UDF; CC edges are 16-byte rows, so 2048-row batches mean
+    # ~32 KB frames and per-batch pandas overhead dominates the
+    # pre-contraction transfer (measured 2.75x at 64k rows/batch on a
+    # 20M-edge pass; 1M-row batches regress again under memory
+    # pressure).  Every heavy python-touching execution — both
+    # pre-contract passes, the fingerprint materializations and the
+    # driver-finish toPandas — runs inside this scope.
+    _ABC = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    sess = edges.sparkSession
+    try:
+        prev_abc = sess.conf.get(_ABC)
+    except Exception:  # pragma: no cover
+        prev_abc = None
+    sess.conf.set(_ABC, "65536")
+    try:
+        e0 = edges
+        if pre_contract:
+            # phase 1 (round 5): partition-local union-find BEFORE any
+            # shuffle — narrow, collapses intra-partition redundancy
+            e0 = _pre_contract(e0)
+            # phase 2 (round 6): co-partition the contracted edges by
+            # node (hash on u after symmetrizing) so each local
+            # union-find sees every edge incident to its nodes — whole
+            # neighborhoods contract in one pass; round_edges[0]
+            # records the post-phase-2 size entering the first star
+            # round
+            e0 = _pre_contract(_symmetrize(e0).repartition("u"))
+        e = _ck(_symmetrize(e0).distinct())
+        prev_fp = _fingerprint(e)
+        stats["round_edges"].append(prev_fp[0])
+        if driver_finish_edges and prev_fp[0] <= driver_finish_edges:
+            stats["driver_finish_at_edges"] = prev_fp[0]
             return _driver_union_find(e)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
-    labels = (_symmetrize(e).groupBy("u")
-              .agg(F.min("v").alias("mn"))
-              .select(F.col("u").alias("id"),
-                      F.least("u", "mn").alias("cluster_id")))
-    return labels
+        for _ in range(max_iter):
+            # both stars operate on the symmetrized neighborhood view;
+            # the output of small-star is directed, so re-symmetrize
+            # each round.  duplicates don't change the
+            # min-aggregations, so no distinct before large-star; the
+            # lazy checkpoint is materialized by the fingerprint
+            # aggregation (one job per round).
+            e2 = _ck(_small_star(
+                _symmetrize(_large_star(_symmetrize(e)))
+            ), eager=False)
+            fp = _fingerprint(e2)
+            e = e2
+            stats["round_edges"].append(fp[0])
+            if driver_finish_edges and fp[0] <= driver_finish_edges:
+                stats["driver_finish_at_edges"] = fp[0]
+                return _driver_union_find(e)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+        labels = (_symmetrize(e).groupBy("u")
+                  .agg(F.min("v").alias("mn"))
+                  .select(F.col("u").alias("id"),
+                          F.least("u", "mn").alias("cluster_id")))
+        return labels
+    finally:
+        if prev_abc is not None:
+            sess.conf.set(_ABC, prev_abc)
+        else:  # pragma: no cover — conf had no value
+            sess.conf.unset(_ABC)

@@ -147,6 +147,22 @@ def test_cc_copartition_contracts_cross_partition_redundancy(spark):
     assert got_dist == want
 
 
+def test_cc_restores_arrow_batch_conf(spark):
+    """connected_components scopes a larger Arrow batch size to its own
+    computation (16-byte edge rows vs the session's text-sized 2048)
+    and must restore the caller's value on every exit path."""
+    from fuzzspark.pipeline.cluster import connected_components
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    edges = spark.createDataFrame([(1, 2), (3, 4)],
+                                  "left_id: long, right_id: long")
+    connected_components(edges).count()                      # driver finish
+    assert spark.conf.get(key) == before
+    connected_components(edges, driver_finish_edges=0).count()  # distributed
+    assert spark.conf.get(key) == before
+
+
 def test_cc_driver_finish_auto_sizing(spark):
     from fuzzspark.pipeline.cluster import (_DRIVER_FINISH_FLOOR,
                                             _auto_driver_finish,
