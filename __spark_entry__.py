@@ -285,20 +285,57 @@ def q_fingerprint(spark, sf_dir):
 
 
 def q_ann_cosine_topk(spark, sf_dir):
+    """Exact cosine top-5 per query vector.
+
+    Round 7: the per-pair Catalyst ``zip_with``/``aggregate`` lambdas
+    (interpreted, no codegen) over a broadcast crossJoin were 148 s at
+    sf1.0 in ONE task; the same arithmetic as a numpy matmul inside
+    mapInArrow (guide §4.2) with the bounded query side shipped per
+    task (the exact payload the old plan broadcast) runs in ~1 s.
+    Per-batch top-5 preselection with the SAME comparator (rounded cos
+    DESC, cand_id ASC) is lossless — a global top-5 row is a top-5 row
+    of its own batch — so only n_parts*nq*5 rows reach the final
+    window.  Results are identical: values within ~1e-13 of the
+    sequential Catalyst fold round identically 1e-11 away from a 5-dp
+    boundary, and the rare near-boundary pair is recomputed with the
+    exact fold + BigDecimal-style HALF_UP rounding (matching Spark's
+    round()); parity is pinned against the old plan in
+    tests/test_round7_opts.py across SFs."""
     from pyspark.sql import Window
+    import numpy as np
+
     e = _t(spark, sf_dir, "embeddings").withColumn(
         "emb", F.col("embedding").cast("array<double>"))
-    q = e.where(F.col("vec_id") % 50 == 0) \
-         .select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qe"))
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("emb").alias("ce"))
-    dot = F.aggregate(F.zip_with("qe", "ce", lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    norm = lambda col: F.sqrt(F.aggregate(
-        F.transform(col, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    scored = (F.broadcast(q).crossJoin(c)
-              .where(F.col("query_id") != F.col("cand_id"))
-              .withColumn("cos", F.round(dot / (norm(F.col("qe"))
-                                                * norm(F.col("ce"))), 5)))
+    qrows = (e.where(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id"), F.col("emb")).collect())
+    qrows.sort(key=lambda r: r[0])
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  e.rdd.getNumPartitions())
+    cand = (e.select(F.col("vec_id").alias("cand_id"), F.col("emb"))
+            .repartition(n_parts))
+
+    def topk_batches(batches):
+        import pyarrow as pa
+        from fuzzspark.extras.similarity import exact_cosine_topk_block
+        q_ids, q_mat = bc.value
+        schema = pa.schema([("query_id", pa.int64()),
+                            ("cand_id", pa.int64()),
+                            ("cos", pa.float64())])
+        for batch in batches:
+            cids = batch.column("cand_id").to_numpy()
+            cmat = np.array(batch.column("emb").to_pylist(),
+                            dtype=np.float64)
+            oq, oc, ocos = exact_cosine_topk_block(q_ids, q_mat, cids,
+                                                   cmat, k=5)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(oq), pa.array(oc), pa.array(ocos)], schema=schema)
+
+    scored = cand.mapInArrow(
+        topk_batches, "query_id long, cand_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= 5)

@@ -53,6 +53,95 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, *,
             .select("query_id", "cand_id", "cos", "rank"))
 
 
+def _round_half_up_5(x: np.ndarray) -> np.ndarray:
+    """Vectorized twin of Spark's ``round(col, 5)`` on doubles
+    (BigDecimal.valueOf(d).setScale(5, HALF_UP).doubleValue()): away-
+    from-zero at the .000005 grid.  Values whose scaled fraction lands
+    within 1e-6 of the grid midpoint are re-rounded through
+    decimal.Decimal(repr(x)) — the same shortest-representation +
+    HALF_UP semantics as BigDecimal.valueOf — so boundary cases match
+    Spark bit-for-bit.  NaN passes through."""
+    import decimal
+    y = x * 1e5
+    fy = np.floor(y)
+    with np.errstate(invalid="ignore"):
+        r = np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)) / 1e5 + 0.0
+        near = np.abs(y - fy - 0.5) < 1e-6
+    if near.any():
+        q5 = decimal.Decimal("0.00001")
+        flat = r.ravel()
+        xs = x.ravel()
+        for idx in np.flatnonzero(near.ravel()):
+            flat[idx] = float(
+                decimal.Decimal(repr(float(xs[idx]))).quantize(
+                    q5, rounding=decimal.ROUND_HALF_UP))
+    return r
+
+
+def _fold_cos(q: np.ndarray, c: np.ndarray) -> float:
+    """Sequential left-fold cosine — the exact float shape of the
+    Catalyst ``aggregate(zip_with(..), 0.0, +)`` expression (and the
+    pre-round-7 plan): per-element product, left-to-right summation,
+    sqrt norms, dot / (norm_q * norm_c)."""
+    import math
+    dot = 0.0
+    nq = 0.0
+    nc = 0.0
+    for k in range(len(q)):
+        dot += float(q[k]) * float(c[k])
+        nq += float(q[k]) * float(q[k])
+        nc += float(c[k]) * float(c[k])
+    return dot / (math.sqrt(nq) * math.sqrt(nc))
+
+
+def exact_cosine_topk_block(q_ids: np.ndarray, q_mat: np.ndarray,
+                            c_ids: np.ndarray, c_mat: np.ndarray,
+                            k: int = 5):
+    """Per-block exact cosine top-k: one BLAS matmul for all
+    (candidate x query) pairs, 5-dp HALF_UP rounding, then per-query
+    top-k under (cos DESC, cand_id ASC) with Spark's NaN-largest
+    ordering.  Pairs whose BLAS cosine lies within 1e-11 of a rounding
+    boundary are recomputed with the sequential fold (exactly the old
+    Catalyst expression) before rounding, so the emitted values equal
+    the interpreted plan's bit-for-bit.  Returns (query_id, cand_id,
+    cos) arrays of the block's top-k rows; the caller's final window
+    over the per-block winners reproduces the global top-k."""
+    nq = len(q_ids)
+    n = len(c_ids)
+    if n == 0 or nq == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy(), np.empty(0, dtype=np.float64)
+    dots = c_mat @ q_mat.T                                   # (n, nq)
+    c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+    q_norm = np.sqrt(np.einsum("ij,ij->i", q_mat, q_mat))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cos = dots / (q_norm[None, :] * c_norm[:, None])
+    # near a 5-dp boundary the BLAS sum may round differently from the
+    # sequential fold: recompute those pairs with the fold itself
+    y = cos * 1e5
+    with np.errstate(invalid="ignore"):
+        near = np.abs(y - np.floor(y) - 0.5) < 1e-6
+    for ci, qi in zip(*np.nonzero(near)):
+        cos[ci, qi] = _fold_cos(q_mat[qi], c_mat[ci])
+    cos_r = _round_half_up_5(cos)
+    # Spark sorts NaN as the LARGEST double: key it below every real cos
+    with np.errstate(invalid="ignore"):
+        key = np.where(np.isnan(cos_r), -np.inf, -cos_r)
+    out_q: list[np.ndarray] = []
+    out_c: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
+    for j in range(nq):
+        # full lexsort (not argpartition): rounded-cos TIES at the k-th
+        # slot must break by cand_id ASC exactly as the window does
+        order = np.lexsort((c_ids, key[:, j]))
+        keep = order[c_ids[order] != q_ids[j]][:k]
+        out_q.append(np.full(len(keep), q_ids[j], dtype=np.int64))
+        out_c.append(c_ids[keep])
+        out_s.append(cos_r[keep, j])
+    return (np.concatenate(out_q), np.concatenate(out_c),
+            np.concatenate(out_s))
+
+
 # Integer quantization scales.  Hyperplanes are seeded Gaussians rounded
 # to integers (H_SCALE resolution); input vectors are floor-quantized at
 # X_SCALE resolution.  Sign(H_int . x_int) is then PURE INTEGER
