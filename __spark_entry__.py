@@ -62,8 +62,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _doc_pairs(spark, sf_dir, mod=7):
+    """Blocked document pairs (same-lang, mod-sampled).
+
+    Round 7: documents.parquet is a single row group, so the scan is ONE
+    split and the broadcast join + everything above it (the Arrow scorer
+    UDF, per-pair gram set ops) ran serially in one task.  Round-robin
+    repartitioning the STREAM side to the session's parallelism spreads
+    the per-pair work across cores (guide §2.5 input skew: "one huge
+    unsplittable file ... repartition immediately after the read");
+    each left doc's run of join outputs stays contiguous, so the
+    kernel's per-distinct-pattern mask reuse is unaffected.  Pair set
+    unchanged — only the partitioning of the stream side moves."""
     d = _t(spark, sf_dir, "documents")
-    a = d.alias("a")
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  d.rdd.getNumPartitions())
+    a = d.repartition(n_parts).alias("a")
     b = d.alias("b")
     return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -352,7 +365,10 @@ def q_seq_levenshtein(spark, sf_dir):
     tok = F.expr("transform(filter(split(text, '\\\\s+'), t -> t != ''), "
                  "t -> (length(t) * 31 + ascii(substr(t, 1, 1))) % 90 + 32)")
     docs = d.select("doc_id", "lang", tok.alias("tok_ids"))
-    a, b = docs.alias("a"), docs.alias("b")
+    # round 7: spread the single-split stream side (see _doc_pairs)
+    a = docs.repartition(max(spark.sparkContext.defaultParallelism,
+                             d.rdd.getNumPartitions())).alias("a")
+    b = docs.alias("b")
     p = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
          .where((F.col("a.doc_id") + F.col("b.doc_id")) % 23 == 0)
@@ -389,6 +405,11 @@ def q_minhash_candidates(spark, sf_dir):
     SQL-expressible), verified by exact 5-shingle containment in tests."""
     from fuzzspark.pipeline.blocking import minhash_bands_udf, normalize_content
     d = _t(spark, sf_dir, "documents")
+    # round 7: the single-row-group scan made the minhash UDF run in ONE
+    # task per join side (see _doc_pairs); spread it across cores
+    n_parts = max(spark.sparkContext.defaultParallelism,
+                  d.rdd.getNumPartitions())
+    d = d.repartition(n_parts)
     mh = minhash_bands_udf(n_bands=8, rows_per_band=4, shingle=5)
     keys = d.select(F.col("doc_id"),
                     F.explode(mh(normalize_content(F.col("text")))).alias("bk"))
@@ -664,6 +685,10 @@ def q_simhash(spark, sf_dir):
     md5 halves; deterministic — pinned by unit tests)."""
     from fuzzspark.extras.dedup import simhash_udf
     d = _t(spark, sf_dir, "documents")
+    # round 7: spread the single-split scan so the simhash UDF (python
+    # md5 loop per token) runs wide instead of in one task
+    d = d.repartition(max(spark.sparkContext.defaultParallelism,
+                          d.rdd.getNumPartitions()))
     return d.select("doc_id", simhash_udf()(F.col("text")).alias("simhash"))
 
 

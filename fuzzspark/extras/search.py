@@ -94,6 +94,13 @@ def fuzzy_topk_join(queries: DataFrame, choices: DataFrame, *,
     else:
         if broadcast_queries:
             q = F.broadcast(q)
+        # round 7: a small single-file choices scan is ONE split, which
+        # serializes the scorer UDF above the broadcast join — spread
+        # the stream side first (guide §2.5 input parallelism); the
+        # explicit broadcast of q keeps the join strategy unchanged
+        sc = c.sparkSession.sparkContext
+        c = c.repartition(max(sc.defaultParallelism,
+                              c.rdd.getNumPartitions()))
         cand = q.crossJoin(c)
     if score_cutoff is not None:
         # JVM-side prune below the UDF: Catalyst fuses it into the join

@@ -84,10 +84,16 @@ def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
                 continue
             t = text[:max_chars]
             if len(t) < shingle:
-                # deterministic short-string hash (Python hash() is salted)
+                # deterministic short-string hash (Python hash() is
+                # salted).  The uint64 overflow is the INTENDED FNV
+                # wrap — silence numpy's per-doc RuntimeWarning
+                # (VERDICT r6: log noise at corpus scale on
+                # no-compiler executors)
                 hv = np.uint64(1469598103934665603)
-                for ch in t:
-                    hv = (hv * np.uint64(1099511628211)) ^ np.uint64(ord(ch))
+                with np.errstate(over="ignore"):
+                    for ch in t:
+                        hv = (hv * np.uint64(1099511628211)) \
+                            ^ np.uint64(ord(ch))
                 shingles = np.array([np.int64(hv >> np.uint64(1))], dtype=np.int64)
             else:
                 # vectorized shingle hashing: polynomial over code points

@@ -149,7 +149,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
                          driver_finish_edges: int | None = None,
                          stats: dict | None = None,
                          checkpoint: str = "auto",
-                         pre_contract: bool = True) -> DataFrame:
+                         pre_contract: bool = True,
+                         upper_bound_edges: int | None = None) -> DataFrame:
     """edges(left_id, right_id) -> (id, cluster_id) with cluster_id =
     min member id.  Nodes absent from ``edges`` are not returned, and
     self-loops (u == v) are dropped up front — a node whose only edges
@@ -195,7 +196,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     ``stats`` (optional dict) is filled with the per-round contracted
     (symmetrized, distinct) edge counts and where the driver finish cut
     in — the data an operator needs to size ``driver_finish_edges``
-    (surfaced into the 05_clusters stage manifest by run_pipeline)."""
+    (surfaced into the 05_clusters stage manifest by run_pipeline).
+
+    ``upper_bound_edges`` (round 7): a caller-known upper bound on the
+    input edge count (e.g. the 04_scores stage-manifest row count —
+    free, no job).  When the bound already fits the driver-finish
+    threshold, the contraction passes, the reliable checkpoint and the
+    fingerprint jobs are all provably pointless — the driver union-find
+    consumes the raw edges directly (self-loops dropped; no symmetrize/
+    distinct needed, the union-find is insensitive to both).  Labels
+    are identical (pinned in tests/test_round7_opts.py); at scale the
+    bound exceeds the threshold and the normal path runs unchanged."""
     def _fingerprint(df: DataFrame) -> tuple:
         """(edge count, order-insensitive 64-bit content hash) — one
         light aggregation instead of two exceptAll joins per round."""
@@ -249,6 +260,14 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
         prev_abc = None
     sess.conf.set(_ABC, "65536")
     try:
+        if (upper_bound_edges is not None and driver_finish_edges
+                and upper_bound_edges <= driver_finish_edges):
+            # round 7: the caller's free bound proves the whole input
+            # fits the driver — contraction/checkpoint/fingerprint jobs
+            # would only shrink something already small enough to lift
+            stats["driver_finish_at_edges"] = upper_bound_edges
+            stats["upper_bound_short_circuit"] = True
+            return _driver_union_find(_as_uv(edges))
         e0 = edges
         if pre_contract:
             # phase 1 (round 5): partition-local union-find BEFORE any

@@ -189,13 +189,25 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         exact = (pairs.where(exact_flag)
                  .withColumn("score", F.lit(1.0)).select(*out_cols))
         content = files_ck.select("id", "content")
-        # the content joins distribute their output across
-        # spark.sql.shuffle.partitions (AQE coalesces by the 16m
-        # advisory size the session sets), so no explicit repartition:
-        # a post-join widen() would re-shuffle every text-attached row
-        # a second time — at the 200x tier that extra shuffle alone is
-        # ~100 GB
-        todo = (pairs.where(~exact_flag)
+        todo_ids = pairs.where(~exact_flag)
+        # round 7: when the persisted corpus stage is small enough to
+        # broadcast (on-disk bytes from the driver listing — free), the
+        # content attach becomes two BroadcastHashJoins and the id-only
+        # pair set never shuffles; the widen happens BEFORE the joins on
+        # slim id rows so the scorer UDF still gets its task width
+        # (guide §3.1).  Above the threshold (conf
+        # ``fuzzspark.broadcast.content.max_bytes``, default 64m) the
+        # shuffle joins distribute the output across
+        # spark.sql.shuffle.partitions as before — a post-join widen()
+        # would re-shuffle every text-attached row a second time; at
+        # the 200x tier that extra shuffle alone is ~100 GB
+        files_bytes = _dir_bytes(runner._dir("01_files"))
+        bc_max = _parse_bytes(spark.conf.get(
+            "fuzzspark.broadcast.content.max_bytes", "64m"))
+        if files_bytes is not None and files_bytes <= bc_max:
+            todo_ids = widen(todo_ids)
+            content = F.broadcast(content)
+        todo = (todo_ids
                 .join(content.select(F.col("id").alias("left_id"),
                                      F.col("content").alias("s1")),
                       "left_id")
@@ -222,9 +234,23 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         spark.sparkContext.setCheckpointDir(cc_dir)
         edges = scores.where(F.col("score") >= cfg.threshold) \
                       .select("left_id", "right_id")
+        # round 7: the 04_scores manifest row count (free — already on
+        # disk) upper-bounds the edge count; when it fits the driver-
+        # finish threshold, CC skips its contraction passes, reliable
+        # checkpoint and fingerprint jobs outright (identical labels)
+        ub_edges = None
+        try:
+            import json as _json
+            with open(runner.manifest_path("04_scores")) as f:
+                m = _json.load(f)
+            if m.get("complete"):
+                ub_edges = int(m["row_count"])
+        except Exception:
+            ub_edges = None
         labels = connected_components(
             edges, max_iter=cfg.cc_max_iter,
-            driver_finish_edges=cfg.cc_driver_finish, stats=cc_stats)
+            driver_finish_edges=cfg.cc_driver_finish, stats=cc_stats,
+            upper_bound_edges=ub_edges)
         # isolated nodes -> singleton clusters
         return (files_ck.select("id").join(labels, "id", "left_outer")
                 .select("id", F.coalesce("cluster_id", "id").alias("cluster_id")))

@@ -147,7 +147,9 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
                              workdir: str, scorer: str = "ratio",
                              threshold: float = 0.9,
                              schema=None,
-                             max_files_per_trigger: int | None = None):
+                             max_files_per_trigger: int | None = None,
+                             blocking_kwargs: Optional[dict] = None,
+                             max_block: int | None = 200):
     """End-to-end incremental linkage: watch ``source_dir`` for new
     corpus parquet files, fuzzy-match arrivals against ``reference``,
     append edges under ``workdir/edges`` (checkpoint
@@ -158,7 +160,12 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
     ``max_files_per_trigger`` caps the files per micro-batch — set it
     so batches stay micro: the matcher broadcasts the STREAM side of
     each batch (the reference's block keys are persisted once), which
-    is the right plan only while arrivals are small vs the corpus."""
+    is the right plan only while arrivals are small vs the corpus.
+
+    ``blocking_kwargs`` / ``max_block`` forward to
+    :func:`streaming_fuzzy_match` (round 7 — the end-to-end helper
+    previously hard-coded the defaults, hiding the hot-key defusal
+    knob from callers)."""
     reader = spark.readStream.schema(schema or reference.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger",
@@ -167,7 +174,8 @@ def streaming_ingest_linkage(spark, source_dir: str, reference: DataFrame, *,
     return streaming_fuzzy_match(
         stream, reference, scorer=scorer, threshold=threshold,
         sink_dir=os.path.join(workdir, "edges"),
-        checkpoint_dir=os.path.join(workdir, "_checkpoint"))
+        checkpoint_dir=os.path.join(workdir, "_checkpoint"),
+        blocking_kwargs=blocking_kwargs, max_block=max_block)
 
 
 def streaming_windowed_agg(stream: DataFrame, *, ts_col: str = "ts",

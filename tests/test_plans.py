@@ -68,9 +68,15 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
 
 
 def test_ann_query_side_broadcasts(spark, sf_dir):
+    """Round 7: the interpreted crossJoin plan became a MapInArrow
+    block-matmul — the bounded query side still ships to every task
+    (now as an explicit broadcast variable), and the per-pair work no
+    longer runs row-at-a-time in the JVM.  The plan must show the
+    Arrow boundary and NO nested-loop join of the candidate side."""
     import __spark_entry__ as em
     plan = _plan(em.q_ann_cosine_topk(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_blocking_join_is_hash_join(spark):

@@ -116,7 +116,12 @@ def test_cc_stats_surfaced(spark, tmp_path):
     out = run_pipeline(spark, files, str(tmp_path / "wd"),
                        LinkageConfig(threshold=0.85))
     m = json.load(open(out["runner"].manifest_path("05_clusters")))
-    assert m["extra"]["round_edges"], m
+    # round 7: when the free 04_scores-manifest bound already fits the
+    # driver-finish threshold, CC legitimately skips every contraction
+    # round (round_edges empty) and records the short-circuit instead
+    assert m["extra"]["round_edges"] or (
+        m["extra"].get("upper_bound_short_circuit") is True
+        and m["extra"]["driver_finish_at_edges"] > 0), m
     # round 6: the default derives from spark.driver.memory (4M floor)
     # instead of a fixed constant — assert against the same derivation
     from fuzzspark.pipeline.cluster import _auto_driver_finish
