@@ -168,6 +168,14 @@ def score_pairs(pairs, s1: str, s2: str, *, scorer: str = "ratio",
     Extra kwargs (``weights``, ``pad``, ``prefix_weight``) pass through
     to :func:`scorer_column`.
 
+    Determinism requirement (ADVICE r6): the exact/UDF plan split
+    evaluates the input's lineage twice, so ``pairs`` must be
+    DETERMINISTIC — a non-deterministic upstream column (rand, uuid)
+    can land a row in both or neither branch.  persist/localCheckpoint
+    expensive or non-deterministic inputs before calling (the pipeline
+    score stage consumes checkpointed parquet for exactly this
+    reason).
+
         from fuzzspark.functions import score_pairs
         matches = score_pairs(df, "name_a", "name_b",
                               scorer="jaro_winkler", score_cutoff=0.9)

@@ -1124,8 +1124,12 @@ int batch_minhash(const void *txt, const int64_t *off, int64_t n_docs,
             for (int64_t r = 0; r < rows_per_band; r++)
                 key = key * 0x9E3779B97F4A7C15ULL
                       + sig[b * rows_per_band + r];
+            /* add in uint64 and cast ONCE: (key>>1) + (b<<56) can
+             * exceed INT64_MAX for high bands — signed overflow is UB
+             * under -O3, while the uint64 add wraps exactly like
+             * numpy's int64 (+ two's-complement cast) does */
             out[d * n_bands + b] =
-                (int64_t)(key >> 1) + (b << 56);
+                (int64_t)((key >> 1) + ((uint64_t)b << 56));
         }
     }
     free(sig);

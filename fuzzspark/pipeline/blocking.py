@@ -143,26 +143,33 @@ def block_keys(files: DataFrame, *, use_exact: bool = True,
                use_path: bool = True, use_minhash: bool = True,
                n_bands: int = 8, rows_per_band: int = 4,
                shingle: int = 5, max_chars: int = 2000) -> DataFrame:
-    """(id, block_key:string) relation — union over key families."""
+    """(id, block_key:string) relation — union over key families.
+
+    Round 7: when ``files`` carries ``content_len``, the key rows carry
+    it too (+8 B/row).  Downstream this lets candidate_pairs read both
+    pair lengths straight off the join sides instead of paying two
+    shuffles of the (amplified) pair set to attach them — see
+    candidate_pairs(attach_sides=False)."""
+    carry = ["content_len"] if "content_len" in files.columns else []
     parts = []
     if use_exact:
         parts.append(files.select(
             "id", F.concat(F.lit("x:"), F.sha2(F.col("content").cast("binary"), 256))
-            .alias("block_key")))
+            .alias("block_key"), *carry))
     if use_path:
         stem = F.regexp_extract(F.element_at(F.split(F.col("path"), "/"), -1),
                                 r"^([A-Za-z_]+)", 1)
         parts.append(files.select(
             "id", F.concat(F.lit("p:"), F.col("lang"), F.lit("/"),
-                           F.lower(stem)).alias("block_key")))
+                           F.lower(stem)).alias("block_key"), *carry))
     if use_minhash:
         mh = minhash_bands_udf(n_bands=n_bands, rows_per_band=rows_per_band,
                                shingle=shingle, max_chars=max_chars)
         parts.append(
             files.select("id", F.explode(mh(normalize_content(F.col("content"))))
-                         .alias("bk"))
+                         .alias("bk"), *carry)
             .select("id", F.concat(F.lit("m:"), F.col("bk").cast("string"))
-                    .alias("block_key")))
+                    .alias("block_key"), *carry))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -184,20 +191,27 @@ def defuse_skew(blocks: DataFrame, files_len: DataFrame,
     from pyspark.sql import Window
     # window census: ONE shuffle by block_key and a single computation
     # of the (UDF-bearing) blocks input — a groupBy+self-join would scan
-    # it twice and pay a second shuffle for the join
+    # it twice and pay a second shuffle for the join.  Round 7: key rows
+    # that already carry content_len (see block_keys) keep it (and skip
+    # the files_len join — the length is on the row), so the downstream
+    # pair join can read both lengths off its sides.
+    carry = ["content_len"] if "content_len" in blocks.columns else []
     counted = blocks.withColumn(
         "_bsize", F.count("*").over(Window.partitionBy("block_key")))
-    small = counted.where(F.col("_bsize") <= max_block).select("id", "block_key")
-    big = counted.where(F.col("_bsize") > max_block).join(files_len, "id")
+    small = counted.where(F.col("_bsize") <= max_block) \
+                   .select("id", "block_key", *carry)
+    big = counted.where(F.col("_bsize") > max_block)
+    if not carry:
+        big = big.join(files_len, "id")
     w = Window.partitionBy("block_key").orderBy("content_len", "id")
     ranked = big.withColumn("_rank", F.row_number().over(w) - 1)
     half = max(1, window // 2)
     w0 = ranked.select(
         "id", F.concat(F.col("block_key"), F.lit("#w"),
                        (F.col("_rank") / window).cast("long").cast("string"))
-        .alias("block_key"))
+        .alias("block_key"), *carry)
     w1 = ranked.select(
         "id", F.concat(F.col("block_key"), F.lit("#v"),
                        ((F.col("_rank") + half) / window).cast("long").cast("string"))
-        .alias("block_key"))
+        .alias("block_key"), *carry)
     return small.unionByName(w0).unionByName(w1)

@@ -51,8 +51,28 @@ def _metadata_rowcount(df: DataFrame) -> int | None:
 
 def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
                     scorer: str = "ratio", cutoff: float = 0.9,
-                    broadcast_threshold: int | None = None) -> DataFrame:
+                    broadcast_threshold: int | None = None,
+                    attach_sides: bool = True) -> DataFrame:
     """(left_id, right_id, len1, len2, exact_equal) distinct pairs.
+
+    ``attach_sides=False`` (round 7, requires ``blocks`` to carry
+    ``content_len`` — see block_keys): returns SKINNY distinct pairs
+    (left_id, right_id, exact_equal) only.  The length prune reads both
+    lengths straight off the two join sides (so it runs BEFORE the
+    dedup exchange and length-impossible pairs never shuffle), and
+    ``exact_equal`` is decided from the exact-sha block family itself
+    (a pair is content-equal iff it shares an ``x:``-prefixed key —
+    the same sha256-equality guarantee as comparing attached hashes).
+    The TWO side-attach joins disappear and the (amplified) pair set is
+    shuffled exactly ONCE, as 17 B rows, for the dedup aggregation; the
+    scoring stage re-derives len1/len2 from the content it attaches
+    anyway.  At the 3200x tier the attach joins were two extra full
+    shuffles of the pair stream hitting the scratch-disk ceiling
+    (VERDICT r6 item 1), and a fat dedup row (lengths carried through)
+    measured WORSE at broadcast-able tiers — hence skinny.  Requires
+    ``use_exact`` blocking for exact-dup detection (without the x:
+    family, equal pairs simply take the scorer path and still score
+    1.0 — slower, never wrong).
 
     ``files`` must have (id, content) — or, cheaper, precomputed
     (id, content_len, content_sha256) as 01_files provides; ``blocks``
@@ -73,6 +93,30 @@ def candidate_pairs(files: DataFrame, blocks: DataFrame, *,
     pair-id set never shuffles.  None (default) leaves the choice to
     Catalyst/AQE statistics.
     """
+    if not attach_sides:
+        if "content_len" not in blocks.columns:
+            raise ValueError("attach_sides=False requires blocks to carry "
+                             "content_len (see block_keys)")
+        left = blocks.alias("l")
+        right = blocks.alias("r")
+        is_x = F.col("l.block_key").startswith("x:")
+        # prune BEFORE the dedup exchange using the side lengths, but
+        # do NOT project them through it: length-impossible pairs never
+        # shuffle, and the surviving rows stay 17 B.  x: pairs always
+        # pass the uniform-cost length bound (len1 == len2 -> bound =
+        # 1.0), kept explicit for parity with the attach path's
+        # `exact_equal | prefilter`.
+        cand = (
+            left.join(right, F.col("l.block_key") == F.col("r.block_key"))
+            .where((F.col("l.id") < F.col("r.id"))
+                   & (is_x | length_prefilter(F.col("l.content_len"),
+                                              F.col("r.content_len"),
+                                              scorer, cutoff)))
+            .select(F.col("l.id").alias("left_id"),
+                    F.col("r.id").alias("right_id"),
+                    is_x.alias("_is_x")))
+        return (cand.groupBy("left_id", "right_id")
+                .agg(F.max("_is_x").alias("exact_equal")))
     cols = set(files.columns)
     sides = files.select(
         "id",

@@ -166,10 +166,18 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     for bk in _bk_cache:  # stage is parquet-persisted; drop the cache
         bk.unpersist()
 
+    # round 7: the block rows carry content_len, so candidate_pairs
+    # reads both pair lengths off the join sides and decides exact_equal
+    # from the x: key family — the two side-attach joins (two full
+    # shuffles of the amplified pair set, the 3200x-tier scratch-ceiling
+    # driver) are gone and the dedup exchange runs on the length-pruned
+    # set.  Falls back to the attach path if the blocks stage predates
+    # the len-carrying schema (resume from an old workdir).
     pairs = runner.run(
         "03_pairs",
-        lambda: candidate_pairs(files_ck, blocks, scorer=cfg.scorer,
-                                cutoff=cfg.threshold))
+        lambda: candidate_pairs(
+            files_ck, blocks, scorer=cfg.scorer, cutoff=cfg.threshold,
+            attach_sides="content_len" not in blocks.columns))
 
     def _score():
         # 03_pairs is id-only (text never rides the pair checkpoint —
@@ -186,8 +194,19 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # a NULL exact_equal (NULL content/sha) takes the scorer path
         # and surfaces as a NULL score, as the old when/otherwise did
         exact_flag = F.coalesce(F.col("exact_equal"), F.lit(False))
-        exact = (pairs.where(exact_flag)
-                 .withColumn("score", F.lit(1.0)).select(*out_cols))
+        # round 7: the skinny pair checkpoint carries no lengths (they
+        # would have doubled the pair dedup shuffle) — re-derive them
+        # here: the scorer branch gets them free off the content it
+        # attaches anyway; the exact branch (len1 == len2 by
+        # definition) attaches ONE side's stored content_len
+        skinny = "len1" not in pairs.columns
+        exact = pairs.where(exact_flag)
+        if skinny:
+            exact = (exact.join(files_ck.select(
+                F.col("id").alias("left_id"),
+                F.col("content_len").alias("len1")), "left_id")
+                .withColumn("len2", F.col("len1")))
+        exact = exact.withColumn("score", F.lit(1.0)).select(*out_cols)
         content = files_ck.select("id", "content")
         todo_ids = pairs.where(~exact_flag)
         # round 7: when the persisted corpus stage is small enough to
@@ -214,6 +233,9 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                 .join(content.select(F.col("id").alias("right_id"),
                                      F.col("content").alias("s2")),
                       "right_id"))
+        if skinny:
+            todo = todo.withColumn("len1", F.length("s1")) \
+                       .withColumn("len2", F.length("s2"))
         scored = todo.withColumn(
             "score", scorer_column(cfg.scorer, "s1", "s2",
                                    "normalized_similarity",

@@ -224,8 +224,11 @@ def test_pairs_checkpoint_is_slim_and_cc_reliable(spark, tmp_path):
                                                          seed=3))
     out = run_pipeline(spark, files, str(tmp_path / "wd"),
                        LinkageConfig(threshold=0.85))
+    # round 7: the checkpoint is SKINNIER still — lengths no longer
+    # ride the pair dedup shuffle either (the scoring stage re-derives
+    # them from the content it attaches anyway)
     assert set(out["pairs"].columns) == {
-        "left_id", "right_id", "len1", "len2", "exact_equal"}
+        "left_id", "right_id", "exact_equal"}
     m = json.load(open(out["runner"].manifest_path("05_clusters")))
     assert m["extra"]["checkpoint_mode"] == "reliable"
     # scores keep the full contract (exact pairs score 1.0, text joined
