@@ -72,32 +72,54 @@ def _doc_pairs(spark, sf_dir, mod=7):
     unsplittable file ... repartition immediately after the read");
     each left doc's run of join outputs stays contiguous, so the
     kernel's per-distinct-pattern mask reuse is unaffected.  Pair set
-    unchanged — only the partitioning of the stream side moves."""
+    unchanged — only the partitioning of the stream side moves.
+
+    Round 7 (second pass): the mod-sampling filter is ALSO expressed as
+    an equi-join key — (a+b) % mod == 0  ⟺  b % mod == (mod - a % mod)
+    % mod for the non-negative ids here — so the broadcast hash join
+    probes buckets keyed by (lang, doc_id % mod) instead of scanning
+    every same-lang build row per probe (lang has ~3 distinct values:
+    each probe walked ~n/3 entries; the residue key cuts the walked
+    candidates by another factor of ``mod``).  Guide §3.1 "pick the
+    join strategy deliberately" / §2.4 — the predicate is unchanged,
+    merely visible to the hash join as a key, so the emitted pair set
+    is IDENTICAL (pinned by tests/test_round7_opts.py)."""
     d = _t(spark, sf_dir, "documents")
     n_parts = max(spark.sparkContext.defaultParallelism,
                   d.rdd.getNumPartitions())
     a = d.repartition(n_parts).alias("a")
     b = d.alias("b")
     return (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & ((F.col("b.doc_id") % mod)
+                      == (mod - F.col("a.doc_id") % mod) % mod)
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .where((F.col("a.doc_id") + F.col("b.doc_id")) % mod == 0)
             .select(F.col("a.doc_id").alias("left_id"),
                     F.col("b.doc_id").alias("right_id"),
                     F.col("a.text").alias("s1"),
                     F.col("b.text").alias("s2")))
 
 
+def _widen(spark, df):
+    """Round 7 (second pass): round-robin repartition of a broadcast
+    join's STREAM side — the driver tables are single-row-group parquet
+    (one split), so the join probe loop and everything above it ran in
+    ONE task (guide §2.5 input skew).  Scale-adaptive, never a
+    constant; identical rows, only partitioning moves."""
+    return df.repartition(max(spark.sparkContext.defaultParallelism,
+                              df.rdd.getNumPartitions()))
+
+
 def _name_pairs(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
-    return (c.join(s, c.c_nationkey == s.s_nationkey)
+    return (_widen(spark, c).join(s, c.c_nationkey == s.s_nationkey)
             .where(c.c_custkey % 5 == 0)
             .select("c_custkey", "s_suppkey", "c_name", "s_name"))
 
 
 def _part_pairs(spark, sf_dir, ma=20, ra=0, mb=20, rb=10):
     part = _t(spark, sf_dir, "part")
-    a = part.alias("a").where(F.col("p_partkey") % ma == ra)
+    a = _widen(spark, part.alias("a").where(F.col("p_partkey") % ma == ra))
     b = part.alias("b").where(F.col("p_partkey") % mb == rb)
     return (a.crossJoin(b)
             .select(F.col("a.p_partkey").alias("left_key"),
@@ -130,7 +152,7 @@ def q_levenshtein_norm(spark, sf_dir):
 
 def q_damerau(spark, sf_dir):
     part = _t(spark, sf_dir, "part")
-    a = part.alias("a").where(F.col("p_partkey") % 10 == 0)
+    a = _widen(spark, part.alias("a").where(F.col("p_partkey") % 10 == 0))
     b = part.alias("b").where(F.col("p_partkey") % 7 == 3)
     p = (a.crossJoin(b)
          .select(F.col("a.p_partkey").alias("left_key"),
@@ -365,13 +387,16 @@ def q_seq_levenshtein(spark, sf_dir):
     tok = F.expr("transform(filter(split(text, '\\\\s+'), t -> t != ''), "
                  "t -> (length(t) * 31 + ascii(substr(t, 1, 1))) % 90 + 32)")
     docs = d.select("doc_id", "lang", tok.alias("tok_ids"))
-    # round 7: spread the single-split stream side (see _doc_pairs)
+    # round 7: spread the single-split stream side, and surface the
+    # mod-23 sample as an equi-join key (see _doc_pairs — identical
+    # pair set, hash-join buckets shrink by the residue factor)
     a = docs.repartition(max(spark.sparkContext.defaultParallelism,
                              d.rdd.getNumPartitions())).alias("a")
     b = docs.alias("b")
     p = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                & ((F.col("b.doc_id") % 23)
+                   == (23 - F.col("a.doc_id") % 23) % 23)
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
-         .where((F.col("a.doc_id") + F.col("b.doc_id")) % 23 == 0)
          .select(F.col("a.doc_id").alias("left_id"),
                  F.col("b.doc_id").alias("right_id"),
                  F.col("a.tok_ids").alias("t1"),
@@ -403,16 +428,20 @@ def q_lsh_cosine_topk(spark, sf_dir):
 def q_minhash_candidates(spark, sf_dir):
     """LSH candidate pairs over documents (rows-only: hash family not
     SQL-expressible), verified by exact 5-shingle containment in tests."""
-    from fuzzspark.pipeline.blocking import minhash_bands_udf, normalize_content
+    from fuzzspark.pipeline.blocking import minhash_key_rows, normalize_content
     d = _t(spark, sf_dir, "documents")
     # round 7: the single-row-group scan made the minhash UDF run in ONE
-    # task per join side (see _doc_pairs); spread it across cores
+    # task per join side (see _doc_pairs); spread it across cores.
+    # Second pass: pre-exploded key rows straight from the kernel's key
+    # matrix (blocking.minhash_key_rows — same keys, no per-doc Python
+    # list + JVM explode)
     n_parts = max(spark.sparkContext.defaultParallelism,
                   d.rdd.getNumPartitions())
     d = d.repartition(n_parts)
-    mh = minhash_bands_udf(n_bands=8, rows_per_band=4, shingle=5)
-    keys = d.select(F.col("doc_id"),
-                    F.explode(mh(normalize_content(F.col("text")))).alias("bk"))
+    keys = minhash_key_rows(
+        d.select(F.col("doc_id"),
+                 normalize_content(F.col("text")).alias("__mh_norm")),
+        id_col="doc_id", n_bands=8, rows_per_band=4, shingle=5)
     a = keys.alias("a")
     b = keys.alias("b")
     return (a.join(b, F.col("a.bk") == F.col("b.bk"))

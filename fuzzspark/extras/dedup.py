@@ -250,12 +250,14 @@ def minhash_near_dup_pairs(df: DataFrame, *, id_col: str = "id",
                            n_bands: int = 8, rows_per_band: int = 4,
                            shingle: int = 5) -> DataFrame:
     """MinHash-LSH candidates verified by exact n-gram Jaccard."""
-    from fuzzspark.pipeline.blocking import minhash_bands_udf, normalize_content
-    mh = minhash_bands_udf(n_bands=n_bands, rows_per_band=rows_per_band,
-                           shingle=shingle)
-    keys = df.select(F.col(id_col).alias("id"),
-                     F.explode(mh(normalize_content(F.col(content_col))))
-                     .alias("bkey"))
+    from fuzzspark.pipeline.blocking import minhash_key_rows, normalize_content
+    # round 7: pre-exploded Arrow key rows (same keys, no per-doc
+    # Python list + JVM explode — see blocking.minhash_key_rows)
+    keys = minhash_key_rows(
+        df.select(F.col(id_col).alias("id"),
+                  normalize_content(F.col(content_col)).alias("__mh_norm")),
+        n_bands=n_bands, rows_per_band=rows_per_band,
+        shingle=shingle).withColumnRenamed("bk", "bkey")
     a, b = keys.alias("a"), keys.alias("b")
     cand = (a.join(b, F.col("a.bkey") == F.col("b.bkey"))
             .where(F.col("a.id") < F.col("b.id"))

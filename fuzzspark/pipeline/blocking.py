@@ -23,7 +23,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["normalize_content", "block_keys", "defuse_skew", "minhash_bands_udf"]
+__all__ = ["normalize_content", "block_keys", "defuse_skew",
+           "minhash_bands_udf", "minhash_key_rows"]
 
 # large 63-bit primes for the affine minhash family
 _MERSENNE = (1 << 61) - 1
@@ -36,24 +37,30 @@ def _hash_family(n_hashes: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
-                         shingle: int = 5, max_chars: int = 2000,
-                         seed: int = 1729):
-    """Plain-python MinHash band-key computation (no Spark dependency;
-    the UDF below wraps it).
-
-    MinHash over character shingles of the first ``max_chars`` chars
-    (content prefix shingles per BASELINE.json north_star).  Band key =
-    hash of the band's row signature, offset by band index so keys from
-    different bands never collide.
-    """
+def make_minhash_matrix(n_bands: int = 8, rows_per_band: int = 4,
+                        shingle: int = 5, max_chars: int = 2000,
+                        seed: int = 1729):
+    """MinHash band keys in PRE-EXPLODE matrix form: texts (may contain
+    None) -> (idx, keys) where ``idx`` lists the non-null positions and
+    ``keys`` is the (len(idx), n_bands) int64 key matrix.  This is the
+    computation :func:`make_minhash_compute` wraps — the matrix form
+    exists so :func:`minhash_key_rows` can emit already-exploded
+    (id, bk) Arrow rows without building a per-doc Python list of keys
+    (round 7: that list churn plus the JVM ``explode`` was most of the
+    key-generation stage's cost — guide §4.2)."""
     n_hashes = n_bands * rows_per_band
     A, B = _hash_family(n_hashes, seed)
     Au = A.astype(np.uint64)[:, None]
     Bu = B.astype(np.uint64)[:, None]
     band_off = np.arange(n_bands, dtype=np.int64) << np.int64(56)
 
-    def compute(content) -> list:
+    def matrix(content) -> tuple[np.ndarray, np.ndarray]:
+        texts, idx = [], []
+        for i, t in enumerate(content):
+            if t is not None:
+                idx.append(i)
+                texts.append(t[:max_chars])
+        idx = np.asarray(idx, dtype=np.int64)
         # C fast path (round 6): one call over the flattened batch —
         # bit-exact with the numpy loop below (the loop stays as the
         # no-compiler fallback AND the oracle-parity definition).  The
@@ -65,24 +72,12 @@ def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
         except Exception:  # pragma: no cover — partial install
             native_minhash = None
         if native_minhash is not None:
-            texts, idx = [], []
-            for i, t in enumerate(content):
-                if t is not None:
-                    idx.append(i)
-                    texts.append(t[:max_chars])
             keys = native_minhash(texts, shingle, A, B,
                                   n_bands, rows_per_band)
             if keys is not None:
-                out = [None] * len(content)
-                for pos, i in enumerate(idx):
-                    out[i] = keys[pos].tolist()
-                return out
-        out = []
-        for text in content:
-            if text is None:
-                out.append(None)
-                continue
-            t = text[:max_chars]
+                return idx, keys
+        rows = np.empty((len(texts), n_bands), dtype=np.int64)
+        for pos, t in enumerate(texts):
             if len(t) < shingle:
                 # deterministic short-string hash (Python hash() is
                 # salted).  The uint64 overflow is the INTENDED FNV
@@ -114,7 +109,31 @@ def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
                 keys = keys * np.uint64(0x9E3779B97F4A7C15) + bands[:, r]
             keys = (keys >> np.uint64(1)).astype(np.int64)  # keep positive
             keys += band_off
-            out.append(keys.tolist())
+            rows[pos] = keys
+        return idx, rows
+
+    return matrix
+
+
+def make_minhash_compute(n_bands: int = 8, rows_per_band: int = 4,
+                         shingle: int = 5, max_chars: int = 2000,
+                         seed: int = 1729):
+    """Plain-python MinHash band-key computation (no Spark dependency;
+    the UDF below wraps it).
+
+    MinHash over character shingles of the first ``max_chars`` chars
+    (content prefix shingles per BASELINE.json north_star).  Band key =
+    hash of the band's row signature, offset by band index so keys from
+    different bands never collide.  Per-doc list form of
+    :func:`make_minhash_matrix` (None for null texts)."""
+    matrix = make_minhash_matrix(n_bands, rows_per_band, shingle,
+                                 max_chars, seed)
+
+    def compute(content) -> list:
+        idx, keys = matrix(content)
+        out = [None] * len(content)
+        for pos, i in enumerate(idx):
+            out[i] = keys[pos].tolist()
         return out
 
     return compute
@@ -132,6 +151,44 @@ def minhash_bands_udf(n_bands: int = 8, rows_per_band: int = 4,
         return pd.Series(compute(content), index=content.index)
 
     return _udf
+
+
+def minhash_key_rows(df: DataFrame, *, id_col: str = "id",
+                     text_col: str = "__mh_norm",
+                     carry: tuple[str, ...] = (),
+                     n_bands: int = 8, rows_per_band: int = 4,
+                     shingle: int = 5, max_chars: int = 2000,
+                     seed: int = 1729) -> DataFrame:
+    """Pre-exploded MinHash key rows: ``df`` (with an already-normalized
+    ``text_col``) -> (id_col, *carry, bk:long), one row per (doc, band).
+
+    Round 7 (guide §4.2): equivalent to
+    ``explode(minhash_bands_udf(text_col))`` — same kernel, same keys,
+    null texts dropped just as ``explode`` drops null arrays — but the
+    keys leave the Python worker as one flat Arrow int64 column
+    (``matrix.ravel()`` + ``np.repeat`` of the carried columns) instead
+    of a per-doc Python list that the JVM then re-explodes.  The
+    per-doc list build + explode was most of the key stage's cost."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep = [id_col, *carry]
+    out_schema = ", ".join(
+        f"{c} {df.schema[c].dataType.simpleString()}" for c in keep
+    ) + ", bk long"
+    params = (n_bands, rows_per_band, shingle, max_chars, seed)
+
+    def emit(batches):
+        matrix = make_minhash_matrix(*params)  # once per task
+        for batch in batches:
+            texts = batch.column(text_col).to_pylist()
+            idx, keys = matrix(texts)
+            rep = pa.array(np.repeat(idx, n_bands))
+            cols = [pc.take(batch.column(c), rep) for c in keep]
+            cols.append(pa.array(keys.ravel()))
+            yield pa.RecordBatch.from_arrays(cols, names=[*keep, "bk"])
+
+    return df.select(*keep, text_col).mapInArrow(emit, out_schema)
 
 
 def normalize_content(col):
@@ -163,13 +220,20 @@ def block_keys(files: DataFrame, *, use_exact: bool = True,
             "id", F.concat(F.lit("p:"), F.col("lang"), F.lit("/"),
                            F.lower(stem)).alias("block_key"), *carry))
     if use_minhash:
-        mh = minhash_bands_udf(n_bands=n_bands, rows_per_band=rows_per_band,
-                               shingle=shingle, max_chars=max_chars)
+        # round 7: pre-exploded Arrow rows straight from the kernel's
+        # key matrix (see minhash_key_rows) — same keys, no per-doc
+        # Python list + JVM explode
+        rows = minhash_key_rows(
+            files.select("id", *carry,
+                         normalize_content(F.col("content"))
+                         .alias("__mh_norm")),
+            carry=tuple(carry), n_bands=n_bands,
+            rows_per_band=rows_per_band, shingle=shingle,
+            max_chars=max_chars)
         parts.append(
-            files.select("id", F.explode(mh(normalize_content(F.col("content"))))
-                         .alias("bk"), *carry)
-            .select("id", F.concat(F.lit("m:"), F.col("bk").cast("string"))
-                    .alias("block_key"), *carry))
+            rows.select("id", F.concat(F.lit("m:"),
+                                       F.col("bk").cast("string"))
+                        .alias("block_key"), *carry))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

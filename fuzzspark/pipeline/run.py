@@ -226,13 +226,16 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         if files_bytes is not None and files_bytes <= bc_max:
             todo_ids = widen(todo_ids)
             content = F.broadcast(content)
-        todo = (todo_ids
-                .join(content.select(F.col("id").alias("left_id"),
-                                     F.col("content").alias("s1")),
-                      "left_id")
-                .join(content.select(F.col("id").alias("right_id"),
-                                     F.col("content").alias("s2")),
-                      "right_id"))
+        # both attach joins share the SAME child plan (the rename
+        # happens after the join, not in a per-side projection), so the
+        # broadcast/shuffle exchange is built once and reused for the
+        # second join (ReusedExchange — guide §2.4)
+        c1, c2 = content.alias("c1"), content.alias("c2")
+        todo = (todo_ids.alias("p")
+                .join(c1, F.col("p.left_id") == F.col("c1.id"))
+                .join(c2, F.col("p.right_id") == F.col("c2.id"))
+                .select("p.*", F.col("c1.content").alias("s1"),
+                        F.col("c2.content").alias("s2")))
         if skinny:
             todo = todo.withColumn("len1", F.length("s1")) \
                        .withColumn("len2", F.length("s2"))
