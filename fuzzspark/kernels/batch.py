@@ -665,74 +665,47 @@ def _raw_batch(scorer: str, s1: list, s2: list, valid: np.ndarray,
                     g = pair_gid[key] = len(d_pairs)
                     d_pairs.append(key)
                 dmap[pos] = g
-        # Round 7 (VERDICT r6 item 6): the per-distinct-pair python
-        # tokenize/set/sort/join loop is replaced with np.unique
-        # token-id factorization.  Vocab ids are assigned in
-        # lexicographic order (np.unique sorts; numpy's and python's
-        # str comparisons are both code-point lexicographic), so
-        # ascending-id order within a pair == ``sorted()`` order, and
-        # the whole batch's set algebra (dedup, ∩, both differences)
-        # becomes four vectorized calls over (pair, token_id) keys.
-        # " ".join(sect_toks + diff_toks) equals the old
-        # sect + " " + diff composition in every empty/non-empty case.
+        # Round 7 (VERDICT r6 item 6) — ATTEMPTED AND REVERTED: an
+        # np.unique token-id factorization of this loop (lexicographic
+        # vocab ids == sorted() order; set algebra as
+        # intersect1d/setdiff1d over (pair, token_id) keys) was built,
+        # fuzz-pinned value-identical (0/4006), and A/B-measured SLOWER
+        # on identical workloads: 9.7 vs 4.1 µs/pair at 4 tokens/string,
+        # 5.4 vs 4.1 at 2 tokens (part names).  The string np.unique
+        # alone costs ~3.4 µs/pair (dict factorize + small-vocab sort:
+        # still ~2.1) and the per-pair " ".join rebuild ~1.5 — python
+        # set ops on 2-8-element sets are simply cheaper than the
+        # factorization constants.  Kept: this loop (the ~4 µs/pair it
+        # measures on all-distinct 2-token batches meets the r6 item-6
+        # target; tok_cache still wins on repeated-string batches).
+        tok_cache: dict[str, set] | None = {} if dmap is not None else None
+
         m = len(d_pairs)
-        ls_a = np.zeros(m, dtype=np.int64)
+        cpairs: list[tuple[str, str]] = []
+        ls_a = np.empty(m, dtype=np.int64)
         l1_a = np.empty(m, dtype=np.int64)
         l2_a = np.empty(m, dtype=np.int64)
-        toks1 = [x.split() for x, _ in d_pairs]
-        toks2 = [y.split() for _, y in d_pairs]
-        n1 = np.fromiter((len(t) for t in toks1), np.int64, m)
-        n2 = np.fromiter((len(t) for t in toks2), np.int64, m)
-        flat = [t for ts in toks1 for t in ts]
-        nflat1 = len(flat)
-        flat += [t for ts in toks2 for t in ts]
-        if flat:
-            # fixed-width '<U' unicode gives C-level sort comparisons
-            # (numpy and python str compare identically: code-point
-            # lexicographic); fall back to object dtype only when the
-            # width x count blow-up would exceed ~256 MB
-            arr = np.array(flat)
-            if arr.dtype.itemsize * arr.size > 1 << 28:  # pragma: no cover
-                arr = np.array(flat, dtype=object)
-            vocab, inv = np.unique(arr, return_inverse=True)
-            V = np.int64(len(vocab))
-            k1 = np.unique(np.repeat(np.arange(m), n1) * V + inv[:nflat1])
-            k2 = np.unique(np.repeat(np.arange(m), n2) * V + inv[nflat1:])
-            ks = np.intersect1d(k1, k2, assume_unique=True)
-            dk1 = np.setdiff1d(k1, ks, assume_unique=True)
-            dk2 = np.setdiff1d(k2, ks, assume_unique=True)
-            vlen = np.fromiter((len(t) for t in vocab), np.int64,
-                               len(vocab))
-            # len(sect) = token chars + (count-1) separators, >= 0
-            own_s = (ks // V).astype(np.int64)
-            ns = np.bincount(own_s, minlength=m).astype(np.int64)
-            ls_a = (np.bincount(own_s, weights=vlen[(ks % V)],
-                                minlength=m).astype(np.int64)
-                    + np.maximum(ns - 1, 0))
-
-            def joined(dk):
-                # per-pair "sect tokens then difference tokens", each
-                # run ascending: key = own*2V + tid (sect) / + V + tid
-                # (diff) sorts exactly into that order
-                comb = np.sort(np.concatenate(
-                    [own_s * (2 * V) + (ks % V),
-                     (dk // V) * (2 * V) + V + (dk % V)]))
-                toks = vocab[np.where(comb % (2 * V) >= V,
-                                      comb % (2 * V) - V,
-                                      comb % (2 * V))].tolist()
-                ends = np.cumsum(np.bincount((comb // (2 * V)),
-                                             minlength=m)).astype(np.int64)
-                out, s = [], 0
-                for e in ends:
-                    out.append(" ".join(toks[s:e]))
-                    s = e
-                return out
-            c1s, c2s = joined(dk1), joined(dk2)
-        else:
-            c1s = c2s = [""] * m
-        l1_a = np.fromiter((len(s) for s in c1s), np.int64, m)
-        l2_a = np.fromiter((len(s) for s in c2s), np.int64, m)
-        cpairs = list(zip(c1s, c2s))
+        app = cpairs.append
+        for pos, (x, y) in enumerate(d_pairs):
+            if tok_cache is None:
+                t1 = set(x.split())
+                t2 = set(y.split())
+            else:
+                t1 = tok_cache.get(x)
+                if t1 is None:
+                    t1 = tok_cache[x] = set(x.split())
+                t2 = tok_cache.get(y)
+                if t2 is None:
+                    t2 = tok_cache[y] = set(y.split())
+            sect = " ".join(sorted(t1 & t2))
+            d1 = " ".join(sorted(t1 - t2))
+            d2 = " ".join(sorted(t2 - t1))
+            c1 = sect + " " + d1 if (sect and d1) else (sect or d1)
+            c2 = sect + " " + d2 if (sect and d2) else (sect or d2)
+            app((c1, c2))
+            ls_a[pos] = len(sect)
+            l1_a[pos] = len(c1)
+            l2_a[pos] = len(c2)
         if m:
             # identical float shape to _ratio_sims: 1 - dist/total
             # (integer numerator/denominator, one float divide)
