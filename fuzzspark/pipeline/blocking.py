@@ -255,27 +255,37 @@ def defuse_skew(blocks: DataFrame, files_len: DataFrame,
     from pyspark.sql import Window
     # window census: ONE shuffle by block_key and a single computation
     # of the (UDF-bearing) blocks input — a groupBy+self-join would scan
-    # it twice and pay a second shuffle for the join.  Round 7: key rows
-    # that already carry content_len (see block_keys) keep it (and skip
-    # the files_len join — the length is on the row), so the downstream
-    # pair join can read both lengths off its sides.
+    # it twice and pay a second shuffle for the join.  Key rows that
+    # already carry content_len (see block_keys) skip the files_len
+    # join, so the downstream pair join can read both lengths off its
+    # sides.
+    #
+    # Round 7 (second pass): the old small ∪ w0 ∪ w1 union replicated
+    # the census subtree into THREE branches whose analyzer-deduped
+    # attribute ids defeated exchange reuse — the executed plan carried
+    # three hashpartitioning(block_key) exchanges + sorts + windows,
+    # and the event log showed the census jobs running 3x per stage.
+    # Both windows share one partitioning (guide §2.4), so they now
+    # stack over a SINGLE exchange+sort, and the 1-or-2 output keys per
+    # row come from ONE explode instead of a union: identical output
+    # rows, one shuffle of the key set instead of three.  At the 1600x
+    # smoke tier that is two fewer shuffles+sorts of 148M key rows.
     carry = ["content_len"] if "content_len" in blocks.columns else []
-    counted = blocks.withColumn(
-        "_bsize", F.count("*").over(Window.partitionBy("block_key")))
-    small = counted.where(F.col("_bsize") <= max_block) \
-                   .select("id", "block_key", *carry)
-    big = counted.where(F.col("_bsize") > max_block)
     if not carry:
-        big = big.join(files_len, "id")
-    w = Window.partitionBy("block_key").orderBy("content_len", "id")
-    ranked = big.withColumn("_rank", F.row_number().over(w) - 1)
+        blocks = blocks.join(files_len, "id")
+    wc = Window.partitionBy("block_key")
+    wr = wc.orderBy("content_len", "id")
     half = max(1, window // 2)
-    w0 = ranked.select(
-        "id", F.concat(F.col("block_key"), F.lit("#w"),
-                       (F.col("_rank") / window).cast("long").cast("string"))
-        .alias("block_key"), *carry)
-    w1 = ranked.select(
-        "id", F.concat(F.col("block_key"), F.lit("#v"),
-                       ((F.col("_rank") + half) / window).cast("long").cast("string"))
-        .alias("block_key"), *carry)
-    return small.unionByName(w0).unionByName(w1)
+    c = (blocks
+         .withColumn("_rank", F.row_number().over(wr) - 1)
+         .withColumn("_bsize", F.count("*").over(wc)))
+    keys = F.when(
+        F.col("_bsize") <= max_block,
+        F.array(F.col("block_key"))
+    ).otherwise(F.array(
+        F.concat(F.col("block_key"), F.lit("#w"),
+                 (F.col("_rank") / window).cast("long").cast("string")),
+        F.concat(F.col("block_key"), F.lit("#v"),
+                 ((F.col("_rank") + half) / window).cast("long")
+                 .cast("string"))))
+    return c.select("id", F.explode(keys).alias("block_key"), *carry)

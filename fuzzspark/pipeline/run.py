@@ -145,26 +145,23 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
     if n_drift:
         raise RuntimeError("content sha256 integrity violation in 01_files")
 
-    _bk_cache: list[DataFrame] = []
-
     def _blocks():
         # widen BEFORE the minhash UDF: the persisted 01_files stage is
         # tiny on disk and would otherwise reach the python workers as a
-        # single input split; persist so the small/big branches of the
-        # skew census reuse one computation instead of re-running the UDF
+        # single input split.  Round 7: defuse_skew is a single subtree
+        # now (one census exchange, no union), so the block-key rows
+        # have exactly one consumer and the old bk.persist() would only
+        # pay cache materialization for nothing.
         bk = block_keys(widen(files_ck,
                               input_bytes=_dir_bytes(runner._dir("01_files"))),
                         use_exact=cfg.use_exact,
                         use_path=cfg.use_path, use_minhash=cfg.use_minhash,
                         n_bands=cfg.n_bands, rows_per_band=cfg.rows_per_band,
-                        shingle=cfg.shingle, max_chars=cfg.max_chars).persist()
-        _bk_cache.append(bk)
+                        shingle=cfg.shingle, max_chars=cfg.max_chars)
         return defuse_skew(bk, files_ck.select("id", "content_len"),
                            max_block=cfg.max_block, window=cfg.window)
 
     blocks = runner.run("02_blocks", _blocks)
-    for bk in _bk_cache:  # stage is parquet-persisted; drop the cache
-        bk.unpersist()
 
     # round 7: the block rows carry content_len, so candidate_pairs
     # reads both pair lengths off the join sides and decides exact_equal
@@ -201,12 +198,6 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         # definition) attaches ONE side's stored content_len
         skinny = "len1" not in pairs.columns
         exact = pairs.where(exact_flag)
-        if skinny:
-            exact = (exact.join(files_ck.select(
-                F.col("id").alias("left_id"),
-                F.col("content_len").alias("len1")), "left_id")
-                .withColumn("len2", F.col("len1")))
-        exact = exact.withColumn("score", F.lit(1.0)).select(*out_cols)
         content = files_ck.select("id", "content")
         todo_ids = pairs.where(~exact_flag)
         # round 7: when the persisted corpus stage is small enough to
@@ -224,12 +215,86 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         bc_max = _parse_bytes(spark.conf.get(
             "fuzzspark.broadcast.content.max_bytes", "64m"))
         if files_bytes is not None and files_bytes <= bc_max:
-            todo_ids = widen(todo_ids)
-            content = F.broadcast(content)
-        # both attach joins share the SAME child plan (the rename
-        # happens after the join, not in a per-side projection), so the
-        # broadcast/shuffle exchange is built once and reused for the
-        # second join (ReusedExchange — guide §2.4)
+            # Round 7 (second pass, guide §8): within the broadcast
+            # gate, resolve content IN the python worker instead of
+            # attaching it row-wise in the JVM.  The corpus (id,
+            # content) ships ONCE per executor as a broadcast variable
+            # (bounded by the same conf that bounded the old
+            # F.broadcast), only the ~17 B id pairs cross the Arrow
+            # boundary, and no per-pair string is materialized JVM-side
+            # — the old ArrowEvalPython path allocated a fresh python
+            # string per pair SIDE (~2 × pairs × doc_len bytes).  The
+            # exact branch folds into the same mapper (score 1.0, no
+            # kernel), so the split/union and its extra scan of the
+            # pair checkpoint disappear.  Above the gate the shuffle
+            # joins below distribute exactly as before.
+            import numpy as np
+            rows = content.collect()  # ≤ bc_max on-disk by the gate
+            b_ids = np.array([r[0] for r in rows], dtype=np.int64)
+            b_txt = np.array([r[1] for r in rows], dtype=object)
+            order = np.argsort(b_ids)
+            bcv = spark.sparkContext.broadcast(
+                (b_ids[order], b_txt[order]))
+            scorer_name, thr = cfg.scorer, cfg.threshold
+
+            def score_map(batches):
+                import pyarrow as pa
+                from fuzzspark.kernels.batch import batch_scores
+                ids, texts = bcv.value
+                for batch in batches:
+                    li = batch.column("left_id").to_numpy()
+                    ri = batch.column("right_id").to_numpy()
+                    ex_raw = batch.column("exact_equal")
+                    n = len(li)
+                    ex = np.asarray(
+                        ex_raw.fill_null(False)
+                        .to_numpy(zero_copy_only=False), dtype=bool)
+                    i1 = np.searchsorted(ids, li)
+                    i2 = np.searchsorted(ids, ri)
+                    if n and (len(ids) == 0
+                              or (ids[np.clip(i1, 0, len(ids) - 1)]
+                                  != li).any()
+                              or (ids[np.clip(i2, 0, len(ids) - 1)]
+                                  != ri).any()):
+                        raise RuntimeError(
+                            "04_scores: pair id missing from the corpus "
+                            "broadcast (pairs must derive from 01_files)")
+                    s1 = texts[i1] if n else texts[:0]
+                    s2 = texts[i2] if n else texts[:0]
+                    out = np.full(n, np.nan)
+                    todo = ~ex
+                    if todo.any():
+                        out[todo] = batch_scores(
+                            scorer_name, "normalized_similarity",
+                            s1[todo], s2[todo], score_cutoff=thr)
+                    out[ex] = 1.0
+                    l1 = np.fromiter(
+                        (len(s) if s is not None else 0 for s in s1),
+                        np.int64, n).astype(np.int32)
+                    l2 = np.fromiter(
+                        (len(s) if s is not None else 0 for s in s2),
+                        np.int64, n).astype(np.int32)
+                    m1 = np.fromiter((s is None for s in s1), bool, n)
+                    m2 = np.fromiter((s is None for s in s2), bool, n)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array(li), pa.array(ri),
+                         pa.array(l1, mask=m1), pa.array(l2, mask=m2),
+                         ex_raw, pa.array(out, mask=np.isnan(out))],
+                        names=out_cols)
+
+            # pass ONLY the columns the mapper reads (guide §4.1) —
+            # the widen shuffle then moves 17 B rows
+            return widen(pairs.select("left_id", "right_id",
+                                      "exact_equal")).mapInArrow(
+                score_map,
+                "left_id long, right_id long, len1 int, len2 int, "
+                "exact_equal boolean, score double")
+        # above the broadcast gate: ALL THREE attach joins (two scorer
+        # sides + the exact branch's length re-derivation) share the
+        # SAME child plan — the rename happens after the join, not in a
+        # per-side projection — so the shuffle exchange of the content
+        # projection is built once and reused (ReusedExchange — guide
+        # §2.4)
         c1, c2 = content.alias("c1"), content.alias("c2")
         todo = (todo_ids.alias("p")
                 .join(c1, F.col("p.left_id") == F.col("c1.id"))
@@ -239,6 +304,16 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
         if skinny:
             todo = todo.withColumn("len1", F.length("s1")) \
                        .withColumn("len2", F.length("s2"))
+            # exact rows: len1 == len2 by definition (content-equal);
+            # length(content) ≡ the stored content_len (01_files
+            # computes it exactly so)
+            exact = (exact.alias("p")
+                     .join(content.alias("cx"),
+                           F.col("p.left_id") == F.col("cx.id"))
+                     .select("p.*",
+                             F.length("cx.content").alias("len1"))
+                     .withColumn("len2", F.col("len1")))
+        exact = exact.withColumn("score", F.lit(1.0)).select(*out_cols)
         scored = todo.withColumn(
             "score", scorer_column(cfg.scorer, "s1", "s2",
                                    "normalized_similarity",
