@@ -289,12 +289,14 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
                 score_map,
                 "left_id long, right_id long, len1 int, len2 int, "
                 "exact_equal boolean, score double")
-        # above the broadcast gate: ALL THREE attach joins (two scorer
-        # sides + the exact branch's length re-derivation) share the
-        # SAME child plan — the rename happens after the join, not in a
-        # per-side projection — so the shuffle exchange of the content
-        # projection is built once and reused (ReusedExchange — guide
-        # §2.4)
+        # above the broadcast gate: shuffle joins attach content to the
+        # scorer side.  NOTE (measured): a shared-child alias form does
+        # NOT get ReusedExchange here — the analyzer's attribute dedup
+        # gives each branch fresh ids and neither the rule nor AQE
+        # stage reuse matches them, so the exact branch must keep its
+        # NARROW len-only attach (16 B rows); routing it through the
+        # content projection "to share the exchange" actually added a
+        # full content shuffle+sort at the 200x tier.
         c1, c2 = content.alias("c1"), content.alias("c2")
         todo = (todo_ids.alias("p")
                 .join(c1, F.col("p.left_id") == F.col("c1.id"))
@@ -305,14 +307,11 @@ def run_pipeline(spark: SparkSession, files: DataFrame, workdir: str,
             todo = todo.withColumn("len1", F.length("s1")) \
                        .withColumn("len2", F.length("s2"))
             # exact rows: len1 == len2 by definition (content-equal);
-            # length(content) ≡ the stored content_len (01_files
-            # computes it exactly so)
-            exact = (exact.alias("p")
-                     .join(content.alias("cx"),
-                           F.col("p.left_id") == F.col("cx.id"))
-                     .select("p.*",
-                             F.length("cx.content").alias("len1"))
-                     .withColumn("len2", F.col("len1")))
+            # the stored content_len attaches as a 16 B row
+            exact = (exact.join(files_ck.select(
+                F.col("id").alias("left_id"),
+                F.col("content_len").alias("len1")), "left_id")
+                .withColumn("len2", F.col("len1")))
         exact = exact.withColumn("score", F.lit(1.0)).select(*out_cols)
         scored = todo.withColumn(
             "score", scorer_column(cfg.scorer, "s1", "s2",
