@@ -33,9 +33,26 @@ def _auto_driver_finish(spark) -> int:
     pandas copies and the driver needs headroom for everything else, so
     budget 1/16 of ``spark.driver.memory`` in raw edge bytes:
     edges = mem/(16 B * 16), e.g. 8 GiB -> 33.5M edges (~537 MB raw).
-    Never below the 4M floor the 800x smoke validated."""
+    Never below the 4M floor the 800x smoke validated.
+
+    Round 7: ALSO clamp by ``spark.driver.maxResultSize`` (default
+    1 GiB), which aborts any collect above it regardless of heap —
+    without the clamp, a LARGER driver heap raises the threshold
+    straight into a maxResultSize abort (observed at the 3200x tier
+    with a 24g heap: "Total size of serialized results of 136 tasks
+    (1029.3 MiB) is bigger than spark.driver.maxResultSize").  The
+    Arrow-serialized result runs ~16-17 B/edge; budget 20 B/edge
+    against 80% of the cap.  maxResultSize=0 means unlimited."""
     mem = parse_bytes(spark.conf.get("spark.driver.memory", "1g"))
-    return max(_DRIVER_FINISH_FLOOR, mem // 256)
+    cap = mem // 256
+    try:
+        mrs = parse_bytes(spark.conf.get("spark.driver.maxResultSize",
+                                         "1g"))
+    except Exception:  # pragma: no cover — unparseable custom value
+        mrs = 1 << 30
+    if mrs and mrs > 0:
+        cap = min(cap, (mrs * 4 // 5) // 20)
+    return max(_DRIVER_FINISH_FLOOR, cap)
 
 
 def _as_uv(edges: DataFrame) -> DataFrame:

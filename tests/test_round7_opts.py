@@ -223,3 +223,35 @@ def test_cc_phase2_loop_with_driver_finish(spark):
     assert {r.cluster_id for r in out} == {0}
     assert len(out) == 3001
     assert s.get("phase2_edges"), s
+
+
+def test_cc_auto_finish_clamped_by_max_result_size():
+    """Round 7 (3200x finding): spark.driver.maxResultSize aborts any
+    collect above it regardless of heap, so the auto driver-finish
+    threshold must clamp by it — a 24g heap with the default 1g cap
+    previously sized the threshold at 100.7M edges and the toPandas
+    died at 1029.3 MiB of serialized results."""
+    from fuzzspark.pipeline.cluster import (_DRIVER_FINISH_FLOOR,
+                                            _auto_driver_finish)
+    from fuzzspark.pipeline.util import parse_bytes
+
+    class FakeConf:
+        def __init__(self, d):
+            self.d = d
+
+        def get(self, k, default=None):
+            return self.d.get(k, default)
+
+    class FakeSpark:
+        def __init__(self, d):
+            self.conf = FakeConf(d)
+
+    big = FakeSpark({"spark.driver.memory": "24g",
+                     "spark.driver.maxResultSize": "1g"})
+    assert _auto_driver_finish(big) == ((1 << 30) * 4 // 5) // 20
+    unlimited = FakeSpark({"spark.driver.memory": "24g",
+                           "spark.driver.maxResultSize": "0"})
+    assert _auto_driver_finish(unlimited) == parse_bytes("24g") // 256
+    small = FakeSpark({"spark.driver.memory": "512m",
+                       "spark.driver.maxResultSize": "1g"})
+    assert _auto_driver_finish(small) == _DRIVER_FINISH_FLOOR

@@ -19,10 +19,16 @@ from fuzzspark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPLICAS = int(os.environ.get("SCALE_SMOKE_REPLICAS", "10"))
+# scale-adaptive reduce width (round 7, mirroring tools/pairs_smoke.py):
+# a flat 64 put 4.6M key rows in single reduce partitions at the 3200x
+# tier and blew the per-task heap share
+SHUFFLE_PARTITIONS = int(os.environ.get(
+    "SCALE_SMOKE_SHUFFLE_PARTITIONS", str(max(64, REPLICAS // 8))))
 
 
 def main() -> None:
-    spark = get_spark("scale-smoke", cpus=32, shuffle_partitions=64)
+    spark = get_spark("scale-smoke", cpus=32,
+                      shuffle_partitions=SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("fuzzspark.python.parallelism", "16")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
